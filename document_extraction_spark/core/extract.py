@@ -1,0 +1,142 @@
+"""Per-turn extraction: classify -> dispatch -> normalize -> spans + metrics.
+
+This module is the deterministic replacement for the reference's whole
+"extraction engine" (the VLM call at /root/reference/src/pdf_extractor/
+client.py:37-38 orchestrated by extractor.py:40-132). Two implementations:
+
+* :func:`extract_one` — scalar, row-wise, simple Python. This is the
+  **reference oracle** the Spark output must match byte-for-byte
+  (north rule: per-turn text equality under stable turn ordering).
+* :func:`extract_batch_pdf` — vectorized over a pandas batch (one Arrow
+  record batch inside ``mapInPandas``). The plain path is fully vectorized
+  pandas ``str`` ops; the html/pdf paths run the streaming parsers per
+  payload (string parsing is inherently per-string) but batched, with all
+  surrounding bookkeeping vectorized.
+
+Both must be **stateless across rows and batches**: equality under any
+repartitioning / Arrow batch size is a tested invariant (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from document_extraction_spark.core import classify as C
+from document_extraction_spark.core import html_strip as H
+from document_extraction_spark.core import normalize as N
+from document_extraction_spark.core import pdf_layout as P
+
+# Output columns appended to the passthrough keys. Kept in one place so the
+# Spark schema (plans/extract_pipeline.py) and the oracle agree.
+RESULT_COLUMNS = [
+    "payload_kind",
+    "text",
+    "spans",
+    "n_blocks_kept",
+    "n_blocks_dropped",
+    "parse_failed",
+    "bytes_in",
+    "bytes_out",
+]
+
+
+def _finalize(kind: str, blocks: list[str], n_kept: int, n_dropped: int,
+              parse_failed: bool, raw: str) -> dict:
+    """Shared tail: normalize kept blocks, join, compute spans + metrics."""
+    norm_blocks = [t for t in (N.normalize_one(b, fence=False) for b in blocks) if t]
+    if parse_failed or (not norm_blocks and kind != C.KIND_PLAIN):
+        # degrade to normalized raw payload so no turn is silently lost —
+        # unlike the reference, which crashes on invalid payloads
+        # (extractor.py:120 uncaught json.loads)
+        text = N.normalize_one(raw)
+        parse_failed = True
+    else:
+        text = "\n\n".join(norm_blocks)
+    return {
+        "payload_kind": kind,
+        "text": text,
+        "spans": N.paragraph_spans(text, kind),
+        "n_blocks_kept": n_kept,
+        "n_blocks_dropped": n_dropped,
+        "parse_failed": parse_failed,
+        "bytes_in": len(raw.encode("utf-8")),
+        "bytes_out": len(text.encode("utf-8")),
+    }
+
+
+def extract_one(raw: str | None) -> dict:
+    """Row-wise reference oracle: one payload string -> result dict."""
+    raw = raw or ""
+    kind = C.classify_one(raw)
+    if kind == C.KIND_HTML:
+        blocks, n_kept, n_dropped, failed = H.html_strip_one(raw)
+    elif kind == C.KIND_PDF:
+        blocks, n_kept, n_dropped, failed = P.pdf_layout_one(raw)
+    else:
+        text = N.normalize_one(raw)  # fence strip + normalize, vectorizable
+        return {
+            "payload_kind": kind,
+            "text": text,
+            "spans": N.paragraph_spans(text, kind),
+            "n_blocks_kept": 1 if text else 0,
+            "n_blocks_dropped": 0,
+            "parse_failed": False,
+            "bytes_in": len(raw.encode("utf-8")),
+            "bytes_out": len(text.encode("utf-8")),
+        }
+    return _finalize(kind, blocks, n_kept, n_dropped, failed, raw)
+
+
+def extract_batch_pdf(pdf: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Vectorized extraction over one pandas batch.
+
+    Returns ``pdf`` with :data:`RESULT_COLUMNS` replacing/extending the
+    payload column. Row order and index are preserved (stable turn ordering
+    is carried by (conv_id, turn_idx) key columns, not by physical order).
+    """
+    raw = pdf[text_col].fillna("").astype("object")
+    kind = C.classify_series(raw)
+
+    text = pd.Series("", index=raw.index, dtype="object")
+    n_kept = pd.Series(0, index=raw.index, dtype="int64")
+    n_dropped = pd.Series(0, index=raw.index, dtype="int64")
+    failed = pd.Series(False, index=raw.index, dtype="bool")
+
+    # --- plain path: fully vectorized pandas str ops ---------------------
+    m_plain = kind == C.KIND_PLAIN
+    if m_plain.any():
+        norm = N.normalize_series(raw[m_plain])
+        text.loc[m_plain] = norm
+        n_kept.loc[m_plain] = (norm.str.len() > 0).astype("int64")
+
+    # --- html / pdf paths: streaming parsers, batched ---------------------
+    for m, fn, k in ((kind == C.KIND_HTML, H.html_strip_one, C.KIND_HTML),
+                     (kind == C.KIND_PDF, P.pdf_layout_one, C.KIND_PDF)):
+        if not m.any():
+            continue
+        res = [_finalize(k, *fn(s), s) for s in raw[m]]
+        sub = pd.DataFrame(res, index=raw.index[m])
+        text.loc[m] = sub["text"]
+        n_kept.loc[m] = sub["n_blocks_kept"]
+        n_dropped.loc[m] = sub["n_blocks_dropped"]
+        failed.loc[m] = sub["parse_failed"]
+
+    out = pdf.copy()
+    out["payload_kind"] = kind
+    out["text"] = text
+    out["spans"] = [N.paragraph_spans(t, k) for t, k in zip(text, kind)]
+    out["n_blocks_kept"] = n_kept
+    out["n_blocks_dropped"] = n_dropped
+    out["parse_failed"] = failed
+    out["bytes_in"] = raw.str.encode("utf-8").str.len().astype("int64")
+    out["bytes_out"] = text.str.encode("utf-8").str.len().astype("int64")
+    return out
+
+
+def extract_map_in_pandas(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """The ``mapInPandas`` entry point (bound to the output schema in
+    plans/extract_pipeline.py)."""
+    for pdf in batches:
+        yield extract_batch_pdf(pdf)

@@ -1,0 +1,124 @@
+"""The extraction pipeline as one lazy DataFrame plan (SURVEY.md §3.4).
+
+``read -> (left_anti vs checkpoint) -> salted repartition -> mapInPandas ->
+write + metrics`` — the distributed analogue of the reference's eager
+per-document loop (/root/reference/main.py:74 -> extractor.py:40-74).
+
+Scale notes (100 TB / 10^12 turns):
+
+* Extraction is **per-turn stateless**, so rows of one conversation need NOT
+  be co-located — we repartition on ``xxhash64(conv_id, turn_idx, salt)``
+  which balances perfectly even when one conversation has 10^6 turns. The
+  output *ordering metadata* (turn_idx) carries the stable turn ordering.
+* Column pruning: only (keys + text) flow into the Python worker; Catalyst
+  prunes the parquet scan to the read schema.
+* Predicate pushdown: any turn/page selection is a plain ``filter`` that
+  reaches the scan (the reference rasterizes everything then drops pages —
+  extractor.py:57-60 — we never materialize-then-drop).
+* The JVM->Python hop is Arrow record batches (bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``), amortized per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from document_extraction_spark.core.extract import extract_map_in_pandas
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+        ]
+    )
+)
+
+KEY_FIELDS = [
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+]
+
+RESULT_FIELDS = [
+    T.StructField("payload_kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("spans", SPAN_TYPE),
+    T.StructField("n_blocks_kept", T.LongType()),
+    T.StructField("n_blocks_dropped", T.LongType()),
+    T.StructField("parse_failed", T.BooleanType()),
+    T.StructField("bytes_in", T.LongType()),
+    T.StructField("bytes_out", T.LongType()),
+]
+
+OUT_SCHEMA = T.StructType(KEY_FIELDS + RESULT_FIELDS)
+
+# spans kept as python list[dict] by the kernel; Arrow maps dicts -> struct
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def build_extract_df(
+    df: DataFrame,
+    partitions: int | None = None,
+    salt: int = 0,
+    turn_filter=None,
+) -> DataFrame:
+    """Build the lazy extraction plan over a transcripts DataFrame.
+
+    ``turn_filter`` (a Column predicate, e.g. ``F.col("turn_idx") < 5``) is
+    applied *before* the scan-adjacent select so Catalyst pushes it into the
+    source — the engine's version of the reference's ``--pages`` subset
+    (main.py:54-63) without the rasterize-then-drop waste.
+    """
+    cols = [f.name for f in KEY_FIELDS] + ["text"]
+    plan = df
+    if turn_filter is not None:
+        plan = plan.filter(turn_filter)
+    plan = plan.select(*[c for c in cols if c in df.columns])
+    if partitions:
+        # salted hash repartition: per-turn keys => no conversation-skew;
+        # salt decorrelates reruns (SURVEY.md §4 "Partitioning / skew")
+        plan = plan.repartition(
+            partitions, F.xxhash64("conv_id", "turn_idx", F.lit(salt))
+        )
+    return plan.mapInPandas(extract_map_in_pandas, schema=OUT_SCHEMA)
+
+
+def metrics_by_partition(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows (north-star requirement)."""
+    return (
+        extracted.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("parse_failed").cast("long")).alias("n_parse_failed"),
+            F.sum("n_blocks_kept").alias("n_blocks_kept"),
+            F.sum("n_blocks_dropped").alias("n_blocks_dropped"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        )
+    )
+
+
+def run(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partitions: int | None = None,
+    sort_within: bool = True,
+) -> DataFrame:
+    """Execute the full pipeline src -> dst (parquet dirs); returns metrics."""
+    df = read_transcripts(spark, src_path)
+    extracted = build_extract_df(df, partitions=partitions)
+    if sort_within:
+        # clustered output files: cheap local sort, no extra shuffle
+        extracted = extracted.sortWithinPartitions("conv_id", "turn_idx")
+    extracted.write.mode("overwrite").parquet(dst_path)
+    return metrics_by_partition(spark.read.parquet(dst_path))
