@@ -1,0 +1,111 @@
+"""Text analysis column functions for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting.
+
+Everything here is a **pure Spark Column expression** (built-in
+``pyspark.sql.functions`` + higher-order array lambdas) — JVM-side, inside
+whole-stage codegen, no Python in the hot path. Each function has an exact
+ANSI-SQL twin used as the DuckDB oracle (see __spark_entry__.oracle_sql);
+where semantics could diverge between engines (regex dialects, float
+rounding) the expressions are deliberately restricted to the common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword sets for the n-gram/stopword language-ID
+# heuristic. Tiny on purpose: broadcast as literals into codegen.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "para"],
+}
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering (BPE-ish regex
+    splits are layered on top where needed)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def punct_count(col: Column) -> Column:
+    return F.regexp_count(col, F.lit(PUNCT_CLASS)).cast("long")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def lang_guess(col: Column) -> Column:
+    """Argmax of per-language stopword hits; deterministic tie-break by the
+    fixed language order en > fr > de > es, 'und' when no hits at all."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        out = F.when(hits[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation x punctuation
+    sanity x mean-token-length sanity. Rounded to 4 decimals so the oracle
+    comparison is float-stable across engines."""
+    n_tok = token_count(col)
+    n_chars = F.length(col).cast("double")
+    len_sat = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(40.0))
+    punct_ratio = punct_count(col).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(5.0))
+    mean_tok = n_chars / F.greatest(n_tok.cast("double"), F.lit(1.0))
+    tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_sat * punct_ok * tok_ok, 4)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the casefolded, whitespace-collapsed
+    text. Engine-portable (md5 is identical everywhere), used as the exact-
+    dedup key at 100 TB scale (hash-groupBy, no payload shuffle)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+# --- exact SQL twins (DuckDB dialect) ---------------------------------------
+
+SQL_TOKENS = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+SQL_TOKEN_COUNT = f"len({SQL_TOKENS})"
+SQL_PUNCT_COUNT = "len(regexp_extract_all({c}, '[.,;:!?]'))"
+SQL_FINGERPRINT = "md5(regexp_replace(lower(trim({c})), '\\s+', ' ', 'g'))"
+
+
+def sql_stopword_hits(c: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = SQL_TOKENS.format(c=c)
+    return f"len(list_filter(list_transform({toks}, t -> lower(t)), t -> t IN ({words})))"
+
+
+def sql_lang_guess(c: str) -> str:
+    hit = {lang: sql_stopword_hits(c, lang) for lang in STOPWORDS}
+    greatest = "greatest(" + ", ".join(hit.values()) + ")"
+    case = "'und'"
+    for lang in reversed(list(STOPWORDS)):
+        case = f"CASE WHEN {hit[lang]} = {greatest} THEN '{lang}' ELSE {case} END"
+    return f"CASE WHEN {greatest} > 0 THEN {case} ELSE 'und' END"
+
+
+def sql_quality_score(c: str) -> str:
+    n_tok = SQL_TOKEN_COUNT.format(c=c)
+    n_chars = f"length({c})::DOUBLE"
+    len_sat = f"least(1.0, ({n_tok})::DOUBLE / 40.0)"
+    punct_ratio = f"({SQL_PUNCT_COUNT.format(c=c)})::DOUBLE / greatest({n_chars}, 1.0)"
+    punct_ok = f"1.0 - least(1.0, ({punct_ratio}) * 5.0)"
+    mean_tok = f"{n_chars} / greatest(({n_tok})::DOUBLE, 1.0)"
+    tok_ok = f"CASE WHEN {mean_tok} >= 3.0 AND {mean_tok} <= 12.0 THEN 1.0 ELSE 0.5 END"
+    return f"round(({len_sat}) * ({punct_ok}) * ({tok_ok}), 4)"

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by Arrow-batched kernels over ``mapInPandas``.
+
+The decode step itself is **stubbed** (this container has no image/audio
+libraries — see the task brief): :func:`fake_decode_features` is a
+deterministic byte-level feature extractor standing in for a real
+PIL/ffmpeg decode. Everything around it — schema, batch shape, partitioning,
+UDF signature — is the real production plumbing, and is tested.
+
+This is the engine's generalization of the reference's page-image path
+(/root/reference/src/pdf_extractor/extractor.py:21-32: PDF -> PNG bytes list);
+here one row = one media object, metadata typed instead of implicit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),        # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),      # opaque encoded bytes
+        T.StructField("width", T.IntegerType()),       # typed metadata
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("decode_failed", T.BooleanType()),
+    ]
+)
+
+
+def real_decode(payload: bytes, mime: str):
+    """Placeholder for the real decode (PIL.Image.open / av.open). The
+    container ships no media libs; production swaps this in unchanged —
+    the Spark plumbing does not move."""
+    raise NotImplementedError("media codecs not available in this environment")
+
+
+def fake_decode_features(payloads: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in 'decode + feature extraction': a 16-bin byte
+    histogram over the payload, L1-normalized. Vectorized with NumPy over the
+    whole Arrow batch (no per-row Python beyond the buffer view)."""
+    feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+    n_bytes = np.zeros(len(payloads), dtype=np.int64)
+    failed = np.zeros(len(payloads), dtype=bool)
+    for i, buf in enumerate(payloads):
+        if buf is None or len(buf) == 0:
+            failed[i] = True
+            continue
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        n_bytes[i] = arr.size
+        hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float32)
+        feats[i] = hist / max(arr.size, 1)
+    return pd.DataFrame(
+        {
+            "n_bytes": n_bytes,
+            "features": [row for row in feats],
+            "decode_failed": failed,
+        }
+    )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """media table -> per-object feature rows, Arrow-batched."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = fake_decode_features(pdf["payload"])
+            out.insert(0, "kind", pdf["kind"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[[f.name for f in FEATURES_SCHEMA.fields]]
+
+    pruned = media.select("media_id", "kind", "payload")
+    return pruned.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+def synth_media_df(spark, documents: DataFrame, kind: str = "image") -> DataFrame:
+    """Derive a deterministic fake media table from the documents corpus:
+    payload bytes = utf-8 of the text (opaque to the pipeline)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(64).alias("width").cast("int"),
+        F.lit(64).alias("height").cast("int"),
+        F.lit(0).cast("long").alias("duration_ms"),
+    )

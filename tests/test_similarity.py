@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from document_extraction_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # vec 1 = vec 0 + tiny noise -> guaranteed nearest neighbour
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]], int(i % 4)) for i in range(40)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_brute_force_topk_exact(spark, emb):
+    out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    assert len(out) == 5
+    assert out == sorted(out, key=lambda r: r["rank"])
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["vec_id"] == 1  # the planted near-duplicate
+    assert top["cos"] > 0.99
+    assert all(r["vec_id"] != 0 for r in out)  # self excluded
+
+
+def test_srp_lsh_subset_of_exact_ranking(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = SIM.brute_force_topk(emb, queries, k=10).collect()
+    approx = SIM.srp_lsh_topk(emb, queries, k=10, n_planes=4, dim=16).collect()
+    exact_cos = {(r["query_id"], r["vec_id"]): r["cos"] for r in exact}
+    # every approx hit's cosine must equal the exact computation
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert r["cos"] == exact_cos[key]
+    # the planted near-dup shares all sign bits -> must be found for query 0
+    got_q0 = {r["vec_id"] for r in approx if r["query_id"] == 0}
+    assert 1 in got_q0
+
+
+def test_embedding_near_dup_blocking(spark, emb):
+    # planted pair (0,1): same block (labels 0 and 1 differ!) -> adjust: both i%4
+    # 0%4=0, 1%4=1 -> different blocks; so test blocking excludes the pair
+    pairs = SIM.embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    assert all(r["id_a"] % 4 == r["id_b"] % 4 for r in pairs)
+
+
+def test_embedding_near_dup_finds_planted_pair_same_block(spark):
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(8).astype(np.float32)
+    rows = [
+        (0, [float(x) for x in v], 0),
+        (1, [float(x) for x in v * 1.001], 0),   # same direction, same block
+        (2, [float(x) for x in rng.standard_normal(8)], 0),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in SIM.embedding_near_dup_pairs(df, 0.99).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.999
