@@ -225,7 +225,7 @@ def q_exact_dedup(spark, sf_dir):
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    sig = DD.minhash_signatures(DD.shingles(d))
+    sig = DD.minhash_signatures(d)
     return DD.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
@@ -353,10 +353,28 @@ WITH toks AS (
 
 
 def _sql_minhash_sig() -> str:
-    aggs = ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(DD.MINHASH_K)
+    wins = ", ".join(
+        f"list_aggregate(list_transform({'h1' if i < 4 else 'h2'}, "
+        f"x -> substr(x, {1 + 8 * (i % 4)}, 8)), 'min') AS h{i}"
+        for i in range(DD.MINHASH_K)
     )
-    return _SQL_SHINGLES + f", sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id)"
+    return """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), sharr AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) >= 3
+         THEN [array_to_string(list_slice(tk, i, i+2), ' ') for i in generate_series(1, len(tk)-2)]
+         ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> md5(s)) AS h1,
+         list_transform(sh, s -> md5('x' || s)) AS h2
+  FROM sharr
+), sig AS (SELECT doc_id, """ + wins + " FROM hashed)"
 
 
 def _sql_simhash() -> str:

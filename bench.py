@@ -1,0 +1,102 @@
+"""Per-round benchmark (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+The flagship extraction job runs over a deterministic synthetic transcripts
+table (~200k turns, cached in /tmp) — the north-rule input shape; the other
+headliners run over the driver's parquet tables. Each query is forced with a
+noop-format write (full evaluation, no sink overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = 12_000  # ~200k turns
+SEED = 7
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from document_extraction_spark import get_spark
+    from document_extraction_spark.plans.extract_pipeline import build_extract_df
+    from document_extraction_spark.sources.transcripts import write_transcripts_parquet
+
+    # deterministic synthetic transcripts (cached across rounds)
+    tdir = os.path.join("/tmp", f"dex_bench_transcripts_{BENCH_CONVS}_{SEED}")
+    if not os.path.exists(os.path.join(tdir, "_DONE")):
+        n = write_transcripts_parquet(tdir, n_convs=BENCH_CONVS, seed=SEED, rows_per_file=8_000)
+        with open(os.path.join(tdir, "_DONE"), "w") as f:
+            f.write(str(n))
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(2 * CPUS, 32),
+        extra_conf={
+            "spark.local.dir": "/dev/shm/dex_spark_local",
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm up JVM + python workers (excluded from timings)
+    force(build_extract_df(spark.read.parquet(tdir).limit(5000)))
+
+    qs = entry.queries()
+    headliners = [
+        "q_pricing_summary",
+        "q_top_revenue_customers",
+        "q_events_sessions",
+        "q_doc_token_stats",
+        "q_exact_dedup",
+        "q_minhash_lsh_pairs",
+        "q_ann_topk",
+        "q_extract_plain_docs",
+    ]
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    force(build_extract_df(spark.read.parquet(tdir)))
+    timings["extract_transcripts"] = round(time.time() - t0, 3)
+
+    for name in headliners:
+        t0 = time.time()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    n_turns = int(open(os.path.join(tdir, "_DONE")).read())
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite-total (extraction + 8 operator queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "extract_turns_per_sec": round(n_turns / timings["extract_transcripts"], 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,17 +8,25 @@ Scale design (100 TB corpus):
 * **exact**: hash-groupBy on an md5 fingerprint — the shuffle carries only
   (32-byte key, doc_id), never the payload.
 * **MinHash + LSH**: shingle -> k min-hashes -> b bands -> candidate pairs
-  join on band buckets. The band join is the only shuffle and its key space
-  is the bucket hash; skewed buckets (stop-shingle pathologies) are handled
-  by AQE skew-join splitting.
-* **SimHash**: 32-bit signature from per-token hash bit votes; near-dups are
-  candidates within hamming-ball buckets.
-* **n-gram Jaccard**: exact verification of candidate pairs (or, at small
-  scale, a direct shingle self-join).
+  join on band buckets. Signatures are computed with array higher-order
+  functions (zero shuffle, map-only); the band bucket join is the only
+  shuffle and its key space is the bucket hash; skewed buckets
+  (stop-shingle pathologies) are handled by AQE skew-join splitting.
+* **SimHash**: 32-bit signature from per-token hash bit votes — also
+  array-based, map-only.
+* **n-gram Jaccard**: exact verification of candidate pairs via shingle
+  self-join (the one variant that genuinely needs the explode).
 * **embedding cosine**: near-dup pairs over an embedding column with
-  blocking.
+  blocking (operators/similarity.py).
 
-MinHash/LSH hashes use ``md5`` (engine-portable) so every variant has an
+Plan-shape note: intermediate arrays (tokens, shingles, hashes) are
+materialized as **named columns in separate selects** — inlining them into
+one expression makes Catalyst re-evaluate the tokenization inside every
+array-lambda element access (measured 20x slowdown; Catalyst only CSEs
+multiply-referenced projection outputs, not repeated subtrees inside
+lambdas).
+
+MinHash/SimHash hashes use ``md5`` (engine-portable) so every variant has an
 exact DuckDB oracle; at production scale ``xxhash64`` is a drop-in with the
 same plan shape.
 """
@@ -49,43 +57,69 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _tokens_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+    return df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+
+
+def shingle_array_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                     width: int = SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct word-``width``-gram shingles."""
+    step = _tokens_df(df, id_col, text_col)
+    tk = F.col("_tk")
+    grams = F.when(
+        F.size(tk) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (width - 1)),
+            lambda i: F.array_join(F.slice(tk, i, width), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tk, " ")))
+    return step.select("doc_id", F.array_distinct(grams).alias("sh"))
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              width: int = SHINGLE_WIDTH) -> DataFrame:
-    """Distinct word-``width``-gram shingles per document (exploded)."""
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
-    grams = F.when(
-        n >= width,
-        F.transform(
-            F.sequence(F.lit(0), n - width),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(width)]),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.array_distinct(grams).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
+    """Exploded (doc_id, shingle) — for the exact-Jaccard verifier, which
+    genuinely needs the shingle join."""
+    return shingle_array_df(df, id_col, text_col, width).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
-def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k independent min-hashes per doc: h_i = min(md5(i || '|' || shingle)).
-
-    Lexicographic min over md5 hex strings — portable across engines; the
-    aggregation is a map-side-combinable groupBy (partial mins)."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """k min-hashes per doc WITHOUT exploding shingles: two md5s per shingle
+    inside array higher-order functions, signature i = array_min over the
+    i-th 8-hex (32-bit) window. Lexicographic min of fixed-width hex ==
+    numeric min; everything stays a narrow per-row projection — zero shuffle
+    (the exploded variant shuffles |shingles| rows; at 10^12 turns that is
+    the difference between a map stage and a petabyte shuffle)."""
+    assert k <= 8, "two md5s provide 8 8-hex windows"
+    sh = shingle_array_df(df, id_col, text_col)
+    hashed = sh.select(
+        "doc_id",
+        F.transform("sh", lambda s: F.md5(s)).alias("_h1"),
+        F.transform("sh", lambda s: F.md5(F.concat(F.lit("x"), s))).alias("_h2"),
+    )
+    cols = []
+    for i in range(k):
+        src = "_h1" if i < 4 else "_h2"  # 32 hex chars => 4 windows per md5
+        start = 1 + 8 * (i % 4)
+        cols.append(
+            F.array_min(
+                F.transform(src, lambda x: F.substring(x, start, 8))
+            ).alias(f"h{i}")
+        )
+    return hashed.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
     """Band the signature, bucket-join, emit distinct candidate pairs (a<b)."""
     rows_per_band = k // bands
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
-            f"band{b}"
-        )
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
@@ -137,26 +171,32 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
-    """SimHash signature: per-token 60-bit md5 hash, per-bit +-1 votes,
-    signature bit b set iff the vote is positive. Width configurable
+    """SimHash signature: per-token 60-bit md5 hash, per-bit +-1 votes over
+    all tokens (duplicates count), signature bit b set iff the vote is
+    positive. Array-based — map-only, zero shuffle. Width configurable
     (32 here keeps the oracle SQL tractable; 64 at production)."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
-        ).alias("tok"),
+    step = _tokens_df(df, id_col, text_col)
+    hashed = step.select(
+        "doc_id",
+        F.transform(
+            "_tk",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ).alias("_hs"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
-    )
+    vote_cols = [
+        F.aggregate(
+            "_hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = hashed.select("doc_id", *vote_cols)
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))

@@ -58,7 +58,21 @@ RESULT_FIELDS = [
 
 OUT_SCHEMA = T.StructType(KEY_FIELDS + RESULT_FIELDS)
 
-# spans kept as python list[dict] by the kernel; Arrow maps dicts -> struct
+# the Python kernel emits spans as primitive offset arrays (fast Arrow path);
+# the struct view above is assembled JVM-side in build_extract_df
+KERNEL_FIELDS = [
+    T.StructField("payload_kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("span_starts", T.ArrayType(T.IntegerType())),
+    T.StructField("span_ends", T.ArrayType(T.IntegerType())),
+    T.StructField("n_blocks_kept", T.LongType()),
+    T.StructField("n_blocks_dropped", T.LongType()),
+    T.StructField("parse_failed", T.BooleanType()),
+    T.StructField("bytes_in", T.LongType()),
+    T.StructField("bytes_out", T.LongType()),
+]
+
+KERNEL_SCHEMA = T.StructType(KEY_FIELDS + KERNEL_FIELDS)
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
@@ -89,7 +103,19 @@ def build_extract_df(
         plan = plan.repartition(
             partitions, F.xxhash64("conv_id", "turn_idx", F.lit(salt))
         )
-    return plan.mapInPandas(extract_map_in_pandas, schema=OUT_SCHEMA)
+    kernel_out = plan.mapInPandas(extract_map_in_pandas, schema=KERNEL_SCHEMA)
+    # assemble the spans struct view JVM-side (zip of the offset arrays with
+    # the row's payload_kind) — whole-stage-codegen'd, no Python cost
+    spans = F.zip_with(
+        "span_starts",
+        "span_ends",
+        lambda s, e: F.struct(
+            F.col("payload_kind").alias("kind"), s.alias("start"), e.alias("end")
+        ),
+    )
+    return kernel_out.withColumn("spans", spans).select(
+        *[f.name for f in OUT_SCHEMA.fields]
+    )
 
 
 def metrics_by_partition(extracted: DataFrame) -> DataFrame:
@@ -113,12 +139,16 @@ def run(
     dst_path: str,
     partitions: int | None = None,
     sort_within: bool = True,
-) -> DataFrame:
-    """Execute the full pipeline src -> dst (parquet dirs); returns metrics."""
+    collect_metrics: bool = True,
+) -> DataFrame | None:
+    """Execute the full pipeline src -> dst (parquet dirs); returns metrics
+    (or None when ``collect_metrics=False`` — bench mode, write only)."""
     df = read_transcripts(spark, src_path)
     extracted = build_extract_df(df, partitions=partitions)
     if sort_within:
         # clustered output files: cheap local sort, no extra shuffle
         extracted = extracted.sortWithinPartitions("conv_id", "turn_idx")
     extracted.write.mode("overwrite").parquet(dst_path)
+    if not collect_metrics:
+        return None
     return metrics_by_partition(spark.read.parquet(dst_path))

@@ -123,28 +123,72 @@ def _edge_rows() -> list[tuple[str, int, str, str, str | None]]:
     ]
 
 
-def generate_transcripts_pdf(n_convs: int, seed: int = 7) -> pd.DataFrame:
-    """Generate the transcripts table as one pandas DataFrame."""
-    rng = np.random.default_rng(seed)
-    rows: list[tuple[str, int, str, str, str | None]] = []
-    for c in range(n_convs):
-        conv_id = f"conv-{seed:04d}-{c:08d}"
-        # skewed sizes: most 2-20 turns, ~3% long conversations
-        n_turns = int(rng.integers(50, 400)) if rng.random() < 0.03 else int(rng.integers(2, 21))
-        for t in range(n_turns):
-            role = ROLES[t % 2] if rng.random() < 0.8 else str(rng.choice(ROLES))
-            tool = TOOLS[int(rng.integers(0, len(TOOLS)))] if role == "tool" else None
-            r = rng.random()
-            if r < 0.40:
-                text = _html_payload(rng)
-            elif r < 0.70:
-                text = _pdf_payload(rng)
-            else:
-                text = _plain_payload(rng)
-            rows.append((conv_id, t, role, text, tool))
-    rows.extend(_edge_rows())
+POOL_SIZE = 600  # payload variants per kind; fixed so output is stable in n_convs
 
-    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+
+def _payload_pools(rng: np.random.Generator) -> dict[str, np.ndarray]:
+    """Deterministic pools of payload variants. Turn payloads are drawn from
+    these by index — vectorized assembly, generator scales to millions of
+    turns (the per-payload builders are the slow, rich path)."""
+    return {
+        "html": np.array([_html_payload(rng) for _ in range(POOL_SIZE)], dtype=object),
+        "pdf": np.array([_pdf_payload(rng) for _ in range(POOL_SIZE)], dtype=object),
+        "plain": np.array([_plain_payload(rng) for _ in range(POOL_SIZE)], dtype=object),
+    }
+
+
+def generate_transcripts_pdf(n_convs: int, seed: int = 7) -> pd.DataFrame:
+    """Generate the transcripts table as one pandas DataFrame (vectorized)."""
+    rng = np.random.default_rng(seed)
+    pools = _payload_pools(rng)
+
+    # skewed sizes: most 2-20 turns, ~3% long conversations (skew exerciser)
+    is_long = rng.random(n_convs) < 0.03
+    sizes = np.where(
+        is_long, rng.integers(50, 400, n_convs), rng.integers(2, 21, n_convs)
+    )
+    total = int(sizes.sum())
+
+    conv_ids = np.array(
+        [f"conv-{seed:04d}-{c:08d}" for c in range(n_convs)], dtype=object
+    ).repeat(sizes)
+    # turn_idx: 0..size-1 within each conversation
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    turn_idx = np.arange(total, dtype=np.int64) - starts.repeat(sizes)
+
+    # roles: 80% strict user/assistant alternation, 20% random
+    alt = np.where(turn_idx % 2 == 0, "user", "assistant")
+    rand_roles = np.array(ROLES, dtype=object)[rng.integers(0, len(ROLES), total)]
+    roles = np.where(rng.random(total) < 0.8, alt, rand_roles).astype(object)
+
+    # payload kind mix ~40/30/30 drawn per turn, payload by pool index
+    r = rng.random(total)
+    pool_idx = rng.integers(0, POOL_SIZE, total)
+    text = np.empty(total, dtype=object)
+    m_html = r < 0.40
+    m_pdf = (r >= 0.40) & (r < 0.70)
+    m_plain = r >= 0.70
+    text[m_html] = pools["html"][pool_idx[m_html]]
+    text[m_pdf] = pools["pdf"][pool_idx[m_pdf]]
+    text[m_plain] = pools["plain"][pool_idx[m_plain]]
+
+    tools_arr = np.array(TOOLS, dtype=object)[rng.integers(0, len(TOOLS), total)]
+    tool = np.where(roles == "tool", tools_arr, None).astype(object)
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": turn_idx,
+            "role": roles,
+            "text": text,
+            "tool": tool,
+        }
+    )
+    edge = pd.DataFrame(
+        _edge_rows(), columns=["conv_id", "turn_idx", "role", "text", "tool"]
+    )
+    pdf = pd.concat([pdf, edge], ignore_index=True)
     pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
     # monotone within conv_id: epoch + conv hash offset + turn_idx seconds
     conv_codes = pdf["conv_id"].astype("category").cat.codes.astype("int64")

@@ -26,7 +26,7 @@ def test_exact_dedup_groups(spark, docs):
 
 
 def test_minhash_identical_docs_collide(spark, docs):
-    sig = DD.minhash_signatures(DD.shingles(docs))
+    sig = DD.minhash_signatures(docs)
     pairs = {(r["doc_a"], r["doc_b"]) for r in DD.lsh_candidate_pairs(sig).collect()}
     assert (0, 1) in pairs  # identical docs always share all bands
     assert (0, 2) in pairs

