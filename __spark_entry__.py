@@ -275,6 +275,137 @@ def q_extract_plain_docs(spark, sf_dir):
     )
 
 
+def q_cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_pivot_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    ).orderBy("l_returnflag")
+
+
+def q_orders_by_month(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("yr", "mon")
+    )
+
+
+def q_string_functions(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 50)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+            F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_user_event_arrays(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.size(F.array_sort(F.collect_set("event_type"))).alias("n_types"),
+        )
+        .filter(F.col("user_id") <= 50)
+        .orderBy("user_id")
+    )
+
+
+def q_top_parts_per_brand(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+        .orderBy("p_brand", "rnk")
+    )
+
+
+def q_median_price_by_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_above_avg_balance(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+def q_nations_with_both(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+def q_running_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(_dec("o_totalprice", 2)).over(w), 2)
+            .cast("double")
+            .alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 # ---- rows-only (non-SQL-expressible) entries ------------------------------
 
 def x_extract_documents_full(spark, sf_dir):
@@ -304,6 +435,23 @@ def x_media_features(spark, sf_dir):
     return MM.extract_media_features(media).orderBy("media_id")
 
 
+def x_streaming_extract(spark, sf_dir):
+    """Structured Streaming extraction (availableNow drain over a small
+    synthesized transcripts dir); correctness vs the batch plan is pinned by
+    tests/test_streaming.py."""
+    import tempfile
+
+    from document_extraction_spark.sources.transcripts import write_transcripts_parquet
+    from document_extraction_spark.streaming.extract_stream import run_extract_stream
+
+    src = tempfile.mkdtemp(prefix="dex_stream_src_")
+    dst = tempfile.mkdtemp(prefix="dex_stream_dst_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="dex_stream_ckpt_") + "/ckpt"
+    write_transcripts_parquet(src, n_convs=5, seed=31, rows_per_file=50)
+    run_extract_stream(spark, src, dst, ckpt).awaitTermination(300)
+    return spark.read.parquet(dst).orderBy("conv_id", "turn_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -327,9 +475,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_extract_plain_docs": q_extract_plain_docs,
+        "q_cube_orders": q_cube_orders,
+        "q_pivot_lineitem": q_pivot_lineitem,
+        "q_orders_by_month": q_orders_by_month,
+        "q_string_functions": q_string_functions,
+        "q_user_event_arrays": q_user_event_arrays,
+        "q_top_parts_per_brand": q_top_parts_per_brand,
+        "q_median_price_by_status": q_median_price_by_status,
+        "q_above_avg_balance": q_above_avg_balance,
+        "q_nations_with_both": q_nations_with_both,
+        "q_running_revenue": q_running_revenue,
         "x_extract_documents_full": x_extract_documents_full,
         "x_srp_lsh_topk": x_srp_lsh_topk,
         "x_media_features": x_media_features,
+        "x_streaming_extract": x_streaming_extract,
     }
 
 
@@ -549,6 +708,72 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({_SQL_COS}, 4)::DOUBLE >= 0.3
             ORDER BY id_a, id_b
+        """,
+        "q_cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "q_pivot_lineitem": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+                   sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_orders_by_month": """
+            SELECT year(o_orderdate)::BIGINT AS yr, month(o_orderdate)::BIGINT AS mon,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_string_functions": """
+            SELECT c_custkey,
+                   upper(c_name) AS name_upper,
+                   substr(c_name, 1, 8) AS name_prefix,
+                   length(c_name)::BIGINT AS name_len,
+                   c_mktsegment || '-' || c_custkey::VARCHAR AS seg_key,
+                   regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked
+            FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey
+        """,
+        "q_user_event_arrays": """
+            SELECT user_id,
+                   list_sort(list_distinct(list(event_type))) AS event_types,
+                   len(list_distinct(list(event_type)))::INT AS n_types
+            FROM events GROUP BY user_id HAVING user_id <= 50 ORDER BY user_id
+        """,
+        "q_top_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC, p_partkey) AS rnk
+              FROM part)
+            WHERE rnk <= 3 ORDER BY p_brand, rnk
+        """,
+        "q_median_price_by_status": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "q_above_avg_balance": """
+            SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+            ORDER BY c_custkey
+        """,
+        "q_nations_with_both": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey
+        """,
+        "q_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice::DECIMAL(18,2))
+                         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+                     AS running_total
+            FROM orders WHERE o_custkey <= 100
+            ORDER BY o_custkey, o_orderkey
         """,
         "q_extract_plain_docs": """
             SELECT doc_id,

@@ -1,0 +1,109 @@
+"""Structured Streaming tests: streaming extraction equals the batch plan;
+watermarked window agg; stateful conversation stats."""
+
+from __future__ import annotations
+
+import pytest
+
+from document_extraction_spark.sources.transcripts import write_transcripts_parquet
+from document_extraction_spark.streaming import extract_stream as XS
+
+
+@pytest.fixture(scope="module")
+def stream_src(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream_src"))
+    n = write_transcripts_parquet(p, n_convs=12, seed=21, rows_per_file=60)
+    return p, n
+
+
+def test_streaming_extraction_matches_batch(spark, stream_src, tmp_path):
+    src, n = stream_src
+    dst = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = XS.run_extract_stream(spark, src, dst, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in spark.read.parquet(dst).collect()
+    }
+    assert len(got) == n
+
+    from document_extraction_spark.plans.extract_pipeline import build_extract_df
+
+    batch = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in build_extract_df(spark.read.parquet(src)).collect()
+    }
+    assert got == batch
+
+
+def test_streaming_is_incremental_and_exactly_once(spark, stream_src, tmp_path):
+    """Re-running availableNow on an unchanged source adds nothing; new files
+    are picked up incrementally."""
+    src, n = stream_src
+    dst = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    XS.run_extract_stream(spark, src, dst, ckpt).awaitTermination(300)
+    assert spark.read.parquet(dst).count() == n
+
+    # no new input -> no new rows (exactly-once on re-trigger)
+    XS.run_extract_stream(spark, src, dst, ckpt).awaitTermination(300)
+    assert spark.read.parquet(dst).count() == n
+
+    # drop one new file in -> only its rows are appended
+    extra = write_transcripts_parquet(str(tmp_path / "extra"), n_convs=2, seed=99)
+    import shutil, glob, os
+    for i, f in enumerate(glob.glob(str(tmp_path / "extra") + "/*.parquet")):
+        shutil.copy(f, os.path.join(src, f"late-{i:03d}.parquet"))
+    XS.run_extract_stream(spark, src, dst, ckpt).awaitTermination(300)
+    assert spark.read.parquet(dst).count() == n + extra
+
+
+def test_windowed_turn_rates_with_watermark(spark, stream_src, tmp_path):
+    src, _ = stream_src
+    sdf = XS.read_transcript_stream(spark, src)
+    agg = XS.turn_rate_by_window(sdf)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM rates").collect()
+    assert rows
+    total = sum(r["n_turns"] for r in rows)
+    assert total == spark.read.parquet(src).count()
+    assert all(r["win"]["start"] is not None for r in rows)
+
+
+def test_stateful_conversation_stats(spark, stream_src, tmp_path):
+    from document_extraction_spark.streaming.stateful import conversation_stats_stream
+
+    src, _ = stream_src
+    sdf = XS.read_transcript_stream(spark, src)
+    q = (
+        conversation_stats_stream(sdf)
+        .writeStream.format("memory")
+        .queryName("convstats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["conv_id"]: r for r in spark.sql("SELECT * FROM convstats").collect()}
+
+    import pandas as pd
+    src_pdf = spark.read.parquet(src).toPandas()
+    exp = src_pdf.groupby("conv_id").agg(
+        n=("turn_idx", "size"), mx=("turn_idx", "max")
+    )
+    for conv_id, row in exp.iterrows():
+        assert got[conv_id]["n_turns"] == row["n"], conv_id
+        assert got[conv_id]["max_turn_idx"] == row["mx"], conv_id

@@ -22,6 +22,14 @@ SF_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _canon_value(v):
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return repr([_canon_value(x) for x in v])
+    return repr(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -29,7 +37,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
-            df[c] = s.map(lambda v: repr(v))
+            df[c] = s.map(_canon_value)
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype(bool)
         elif pd.api.types.is_float_dtype(s):
