@@ -194,6 +194,7 @@ def q_doc_token_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         TS.token_count(F.col("text")).alias("n_tokens"),
+        TS.subword_count(F.col("text")).alias("n_subwords"),
         TS.punct_count(F.col("text")).alias("n_punct"),
         F.length("text").cast("long").alias("n_chars"),
         TS.fingerprint(F.col("text")).alias("fp"),
@@ -648,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_token_stats": f"""
             SELECT doc_id,
                    {TS.SQL_TOKEN_COUNT.format(c='text')}::BIGINT AS n_tokens,
+                   {TS.SQL_SUBWORD_COUNT.format(c='text')}::BIGINT AS n_subwords,
                    {TS.SQL_PUNCT_COUNT.format(c='text')}::BIGINT AS n_punct,
                    length(text)::BIGINT AS n_chars,
                    {fp} AS fp

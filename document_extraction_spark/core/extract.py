@@ -37,6 +37,7 @@ RESULT_COLUMNS = [
     "n_blocks_kept",
     "n_blocks_dropped",
     "parse_failed",
+    "truncated",
     "bytes_in",
     "bytes_out",
 ]
@@ -61,6 +62,7 @@ def _finalize(kind: str, blocks: list[str], n_kept: int, n_dropped: int,
         "n_blocks_kept": n_kept,
         "n_blocks_dropped": n_dropped,
         "parse_failed": parse_failed,
+        "truncated": False,
         "bytes_in": len(raw.encode("utf-8")),
         "bytes_out": len(text.encode("utf-8")),
     }
@@ -83,20 +85,35 @@ def extract_one(raw: str | None) -> dict:
             "n_blocks_kept": 1 if text else 0,
             "n_blocks_dropped": 0,
             "parse_failed": False,
+            "truncated": False,
             "bytes_in": len(raw.encode("utf-8")),
             "bytes_out": len(text.encode("utf-8")),
         }
     return _finalize(kind, blocks, n_kept, n_dropped, failed, raw)
 
 
-def extract_batch_pdf(pdf: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def extract_batch_pdf(pdf: pd.DataFrame, text_col: str = "text",
+                      max_chars: int | None = None) -> pd.DataFrame:
     """Vectorized extraction over one pandas batch.
 
     Returns ``pdf`` with :data:`RESULT_COLUMNS` replacing/extending the
     payload column. Row order and index are preserved (stable turn ordering
     is carried by (conv_id, turn_idx) key columns, not by physical order).
+
+    ``max_chars`` is the oversized-payload policy (SURVEY.md §7 "skew: a
+    single 10 MB turn is the real skew unit"): payloads longer than the cap
+    are deterministically truncated before extraction and flagged
+    ``truncated`` — opt-in, off by default (the default preserves per-turn
+    equality with the uncapped reference).
     """
     raw = pdf[text_col].fillna("").astype("object")
+    truncated = pd.Series(False, index=raw.index, dtype="bool")
+    if max_chars is not None:
+        lens = raw.str.len()
+        over = lens > max_chars
+        if over.any():
+            truncated[over] = True
+            raw = raw.mask(over, raw.str.slice(0, max_chars))
     kind = C.classify_series(raw)
 
     text = pd.Series("", index=raw.index, dtype="object")
@@ -144,6 +161,7 @@ def extract_batch_pdf(pdf: pd.DataFrame, text_col: str = "text") -> pd.DataFrame
     out["n_blocks_kept"] = n_kept
     out["n_blocks_dropped"] = n_dropped
     out["parse_failed"] = failed
+    out["truncated"] = truncated
     out["bytes_in"] = raw.str.encode("utf-8").str.len().astype("int64")
     out["bytes_out"] = text.str.encode("utf-8").str.len().astype("int64")
     return out
@@ -169,3 +187,13 @@ def extract_map_in_pandas(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFr
     plans/extract_pipeline.py)."""
     for pdf in batches:
         yield extract_batch_pdf(pdf)
+
+
+def make_extract_kernel(max_chars: int | None):
+    """Kernel factory carrying the oversized-payload policy to executors."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            yield extract_batch_pdf(pdf, max_chars=max_chars)
+
+    return kernel

@@ -39,6 +39,18 @@ def punct_count(col: Column) -> Column:
     return F.regexp_count(col, F.lit(PUNCT_CLASS)).cast("long")
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space symbols
+# (the GPT-2-style pre-tokenizer shape, restricted to the regex subset both
+# Java and RE2 evaluate identically)
+SUBWORD_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def subword_count(col: Column) -> Column:
+    """BPE-ish token count (pre-tokenizer piece count, upper bound on merged
+    BPE tokens)."""
+    return F.regexp_count(col, F.lit(SUBWORD_PATTERN)).cast("long")
+
+
 def stopword_hits(col: Column, lang: str) -> Column:
     words = STOPWORDS[lang]
     toks = F.transform(tokens(col), lambda t: F.lower(t))
@@ -82,6 +94,7 @@ def fingerprint(col: Column) -> Column:
 SQL_TOKENS = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
 SQL_TOKEN_COUNT = f"len({SQL_TOKENS})"
 SQL_PUNCT_COUNT = "len(regexp_extract_all({c}, '[.,;:!?]'))"
+SQL_SUBWORD_COUNT = "len(regexp_extract_all({c}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
 SQL_FINGERPRINT = "md5(regexp_replace(lower(trim({c})), '\\s+', ' ', 'g'))"
 
 

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from document_extraction_spark.core.extract import extract_map_in_pandas
+from document_extraction_spark.core.extract import (
+    extract_map_in_pandas,
+    make_extract_kernel,
+)
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -52,6 +55,7 @@ RESULT_FIELDS = [
     T.StructField("n_blocks_kept", T.LongType()),
     T.StructField("n_blocks_dropped", T.LongType()),
     T.StructField("parse_failed", T.BooleanType()),
+    T.StructField("truncated", T.BooleanType()),
     T.StructField("bytes_in", T.LongType()),
     T.StructField("bytes_out", T.LongType()),
 ]
@@ -68,6 +72,7 @@ KERNEL_FIELDS = [
     T.StructField("n_blocks_kept", T.LongType()),
     T.StructField("n_blocks_dropped", T.LongType()),
     T.StructField("parse_failed", T.BooleanType()),
+    T.StructField("truncated", T.BooleanType()),
     T.StructField("bytes_in", T.LongType()),
     T.StructField("bytes_out", T.LongType()),
 ]
@@ -84,6 +89,7 @@ def build_extract_df(
     partitions: int | None = None,
     salt: int = 0,
     turn_filter=None,
+    max_payload_chars: int | None = None,
 ) -> DataFrame:
     """Build the lazy extraction plan over a transcripts DataFrame.
 
@@ -103,7 +109,12 @@ def build_extract_df(
         plan = plan.repartition(
             partitions, F.xxhash64("conv_id", "turn_idx", F.lit(salt))
         )
-    kernel_out = plan.mapInPandas(extract_map_in_pandas, schema=KERNEL_SCHEMA)
+    kernel = (
+        extract_map_in_pandas
+        if max_payload_chars is None
+        else make_extract_kernel(max_payload_chars)
+    )
+    kernel_out = plan.mapInPandas(kernel, schema=KERNEL_SCHEMA)
     # assemble the spans struct view JVM-side (zip of the offset arrays with
     # the row's payload_kind) — whole-stage-codegen'd, no Python cost
     spans = F.zip_with(
@@ -125,6 +136,7 @@ def metrics_by_partition(extracted: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.sum(F.col("parse_failed").cast("long")).alias("n_parse_failed"),
+            F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
             F.sum("n_blocks_kept").alias("n_blocks_kept"),
             F.sum("n_blocks_dropped").alias("n_blocks_dropped"),
             F.sum("bytes_in").alias("bytes_in"),

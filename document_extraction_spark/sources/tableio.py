@@ -1,0 +1,85 @@
+"""Thin table-IO abstraction: Iceberg when a catalog is on the classpath,
+Parquet directory layout otherwise (SURVEY.md §7 — this sandbox ships no
+iceberg-spark-runtime jar, so the Parquet path is what tests exercise; the
+Iceberg path is the same call shape via the DataFrameV2 API).
+
+Semantics kept identical across backends:
+
+* ``read(name)`` -> DataFrame
+* ``append(df, name)`` -> atomic-enough append (Iceberg: snapshot commit;
+  Parquet: append-mode write of new files)
+* ``overwrite_partitions(df, name, cols)`` -> replace only the partitions
+  present in ``df`` (Iceberg: ``overwritePartitions``; Parquet: dynamic
+  partition overwrite)
+
+The checkpoint protocol (plans/checkpoint.py) only relies on these three
+verbs, so moving the engine onto a real lakehouse is a constructor change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str, catalog: str | None = None):
+        """``catalog`` non-None (e.g. "lake") selects Iceberg identifiers
+        ``{catalog}.{name}``; otherwise ``{root}/{name}`` parquet dirs."""
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.catalog = catalog
+        if catalog and not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg catalog requested but no iceberg-spark-runtime jar on "
+                "the classpath; pass catalog=None for the parquet layout"
+            )
+
+    # -- identifiers ------------------------------------------------------
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{name}" if self.catalog else f"{self.root}/{name}"
+
+    def exists(self, name: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(self._ident(name))
+        try:
+            self.spark.read.parquet(self._ident(name)).schema
+            return True
+        except Exception:
+            return False
+
+    # -- verbs -------------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.parquet(self._ident(name))
+
+    def append(self, df: DataFrame, name: str, partition_cols: list[str] | None = None) -> None:
+        """Append rows. A table that will later use ``overwrite_partitions``
+        MUST be appended with the same ``partition_cols`` from its first
+        write: on the parquet backend, files outside ``col=value`` dirs
+        belong to no partition and a dynamic overwrite clears them."""
+        if self.catalog:
+            df.writeTo(self._ident(name)).append()
+        else:
+            w = df.write.mode("append")
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            w.parquet(self._ident(name))
+
+    def overwrite_partitions(self, df: DataFrame, name: str, partition_cols: list[str]) -> None:
+        if self.catalog:
+            df.writeTo(self._ident(name)).overwritePartitions()
+        else:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*partition_cols)
+                .parquet(self._ident(name))
+            )  # requires spark.sql.sources.partitionOverwriteMode=dynamic
