@@ -407,6 +407,124 @@ def q_running_revenue(spark, sf_dir):
     )
 
 
+def q_event_type_map(spark, sf_dir):
+    """Map functions: per-user event_type->count map built with
+    map_from_entries, then deconstructed with map_keys/map_values (arrays
+    compare cross-engine; map literals don't)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        counts.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "n")))
+            ).alias("type_counts")
+        )
+    )
+    return (
+        m.select(
+            "user_id",
+            F.map_keys("type_counts").alias("types"),
+            F.map_values("type_counts").alias("counts"),
+            F.size(F.map_keys("type_counts")).alias("n_types"),
+        )
+        .filter(F.col("user_id") <= 40)
+        .orderBy("user_id")
+    )
+
+
+def q_sentence_explode(spark, sf_dir):
+    """Lateral view / posexplode: sentences with ordinal positions."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\.\s+")).alias("pos", "sentence"),
+        )
+        .filter(F.trim(F.col("sentence")) != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "sentence")
+        .orderBy("doc_id", "pos")
+    )
+
+
+def x_udtf_sentences(spark, sf_dir):
+    """Python UDTF surface (arrow-optimized table function): same sentence
+    split as q_sentence_explode but via a user-defined table function —
+    the UDF/UDAF/UDTF coverage row of SURVEY.md §2.3."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: long, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if not text:
+                return
+            for i, s in enumerate(re.split(r"\.\s+", text)):
+                if s.strip():
+                    yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d = _t(spark, sf_dir, "documents")
+    d.filter(F.col("doc_id") < 20).createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.sentence "
+        "FROM _docs_udtf, LATERAL sentence_split(text) s "
+        "ORDER BY doc_id, pos"
+    )
+
+
+def x_pandas_udf_classify(spark, sf_dir):
+    """Scalar pandas UDF surface: the payload classifier as an Arrow-batched
+    column function (SURVEY.md §2.2 O23)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from document_extraction_spark.core.classify import classify_series
+
+    classify_udf = pandas_udf(lambda s: classify_series(s), "string")
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", classify_udf(F.col("text")).alias("payload_kind"))
+        .groupBy("payload_kind")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("payload_kind")
+    )
+
+
+def x_binary_source(spark, sf_dir):
+    """binaryFile source (the reference's raw-PDF ingestion path, SURVEY.md
+    §2.1 O8): reads the parquet files themselves as opaque binary + metadata."""
+    return (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+            F.col("length"),
+            F.length(F.col("content")).cast("long").alias("content_bytes"),
+        )
+        .orderBy("file")
+    )
+
+
+def x_salted_skew_join(spark, sf_dir):
+    """Explicit salted join for heavy-hitter keys (operators/skew.py):
+    lineitem (skewed on l_orderkey in adversarial data) x orders."""
+    from document_extraction_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, "okey", factor=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---- rows-only (non-SQL-expressible) entries ------------------------------
 
 def x_extract_documents_full(spark, sf_dir):
@@ -486,6 +604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_above_avg_balance": q_above_avg_balance,
         "q_nations_with_both": q_nations_with_both,
         "q_running_revenue": q_running_revenue,
+        "q_event_type_map": q_event_type_map,
+        "q_sentence_explode": q_sentence_explode,
+        "q_salted_skew_join": x_salted_skew_join,
+        "x_udtf_sentences": x_udtf_sentences,
+        "x_pandas_udf_classify": x_pandas_udf_classify,
+        "x_binary_source": x_binary_source,
         "x_extract_documents_full": x_extract_documents_full,
         "x_srp_lsh_topk": x_srp_lsh_topk,
         "x_media_features": x_media_features,
@@ -776,6 +900,32 @@ def oracle_sql() -> dict[str, str]:
                      AS running_total
             FROM orders WHERE o_custkey <= 100
             ORDER BY o_custkey, o_orderkey
+        """,
+        "q_event_type_map": """
+            WITH counts AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   list_sort(list(event_type)) AS types,
+                   [p[2]::BIGINT for p in list_sort(list([event_type, n::VARCHAR]))] AS counts,
+                   len(list(event_type))::INT AS n_types
+            FROM counts GROUP BY user_id HAVING user_id <= 40 ORDER BY user_id
+        """,
+        "q_sentence_explode": """
+            WITH parts AS (
+              SELECT doc_id, string_split_regex(text, '\\.\\s+') AS ps
+              FROM documents WHERE doc_id < 50)
+            SELECT doc_id, pos, sentence FROM (
+              SELECT doc_id, generate_subscripts(ps, 1)::BIGINT - 1 AS pos,
+                     unnest(ps) AS sentence
+              FROM parts)
+            WHERE trim(sentence) <> ''
+            ORDER BY doc_id, pos
+        """,
+        "q_salted_skew_join": """
+            SELECT o_orderpriority, count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q_extract_plain_docs": """
             SELECT doc_id,
