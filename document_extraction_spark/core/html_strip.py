@@ -42,16 +42,16 @@ MAX_LINK_DENSITY = 0.33
 MIN_BLOCK_CHARS = 15
 
 
-class _BlockParser(HTMLParser):
-    """Streaming segmentation of an HTML payload into scored text blocks."""
+class _BlockSink:
+    """Shared block-building state machine: both the fast regex tokenizer and
+    the stdlib HTMLParser drive these three events, so scoring semantics are
+    identical by construction."""
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.stack: list[str] = []
         self.blocks: list[dict] = []
         self._cur: dict | None = None
 
-    # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
         if self._cur is not None:
             self.blocks.append(self._cur)
@@ -66,9 +66,7 @@ class _BlockParser(HTMLParser):
             "boiler": any(t in BOILERPLATE_TAGS for t in self.stack),
         }
 
-    # -- HTMLParser hooks -------------------------------------------------
-    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
-        tag = tag.lower()
+    def start(self, tag: str) -> None:
         if tag in VOID_TAGS:
             if tag in ("br", "hr") and self._cur is not None:
                 self._cur["parts"].append("\n")
@@ -77,8 +75,7 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS or tag in BOILERPLATE_TAGS:
             self._open_block(tag)
 
-    def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
+    def end(self, tag: str) -> None:
         # pop to the matching open tag (tolerates misnesting deterministically)
         if tag in self.stack:
             while self.stack and self.stack[-1] != tag:
@@ -88,10 +85,8 @@ class _BlockParser(HTMLParser):
         if tag in BLOCK_TAGS or tag in BOILERPLATE_TAGS:
             self._flush()
 
-    def handle_data(self, data: str) -> None:
+    def data(self, data: str) -> None:
         if not data or not data.strip():
-            return
-        if any(t in ("script", "style") for t in self.stack):
             return
         if self._cur is None:
             self._open_block("_text")
@@ -100,26 +95,66 @@ class _BlockParser(HTMLParser):
             self._cur["anchor_chars"] += len(data.strip())
 
 
-def html_strip_one(payload: str) -> tuple[list[str], int, int, bool]:
-    """Strip boilerplate from one HTML payload.
+class _BlockParser(HTMLParser):
+    """stdlib-tokenizer variant — kept as the differential-testing reference
+    for the fast regex tokenizer below."""
 
-    Returns ``(kept_block_texts, n_kept, n_dropped, parse_failed)``. On parser
-    error the payload degrades to a regex-free fallback (tags removed by the
-    tolerant parser up to the failure point are lost; we mark parse_failed and
-    emit nothing, letting the caller fall back to normalized raw text).
-    """
-    parser = _BlockParser()
-    try:
-        parser.feed(payload)
-        parser.close()
-    except Exception:
-        return [], 0, 0, True
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.sink = _BlockSink()
 
-    parser._flush()
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        self.sink.start(tag.lower())
+
+    def handle_endtag(self, tag: str) -> None:
+        self.sink.end(tag.lower())
+
+    def handle_data(self, data: str) -> None:
+        if any(t in ("script", "style") for t in self.sink.stack):
+            return
+        self.sink.data(data)
+
+
+import re as _re
+from html import unescape as _unescape
+
+# raw-text elements removed wholesale (HTMLParser never emits their content
+# as data when they are suppressed above); comments likewise
+_RE_RAWTEXT = _re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_RE_COMMENT = _re.compile(r"<!--.*?-->", _re.S)
+# one pass over the payload: a tag token or a text run. Attribute values may
+# contain '>' inside quotes — the attr body alternation respects quoting.
+_RE_TOKEN = _re.compile(
+    r"""<\s*(?P<close>/?)\s*(?P<name>[a-zA-Z][a-zA-Z0-9]*)"""
+    r"""(?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>"""
+    r"""|(?P<text>[^<]+)""",
+    _re.S,
+)
+
+
+def _tokenize_fast(payload: str, sink: _BlockSink) -> None:
+    payload = _RE_COMMENT.sub("", _RE_RAWTEXT.sub("", payload))
+    for m in _RE_TOKEN.finditer(payload):
+        text = m.group("text")
+        if text is not None:
+            if "&" in text:
+                text = _unescape(text)
+            sink.data(text)
+            continue
+        name = m.group("name").lower()
+        if m.group("close"):
+            sink.end(name)
+        else:
+            sink.start(name)
+            if m.group("attrs").rstrip().endswith("/") and name not in VOID_TAGS:
+                sink.end(name)  # self-closing <tag/>
+
+
+def _score_blocks(blocks: list[dict]) -> tuple[list[str], int, int]:
     kept: list[str] = []
     n_kept = 0
     n_dropped = 0
-    for blk in parser.blocks:
+    for blk in blocks:
         text = " ".join(" ".join(blk["parts"]).split())
         if not text:
             continue
@@ -136,4 +171,35 @@ def html_strip_one(payload: str) -> tuple[list[str], int, int, bool]:
         else:
             n_kept += 1
             kept.append(text)
+    return kept, n_kept, n_dropped
+
+
+def html_strip_one(payload: str) -> tuple[list[str], int, int, bool]:
+    """Strip boilerplate from one HTML payload (fast regex tokenizer; the
+    stdlib-tokenizer variant html_strip_one_stdlib is the differential
+    reference — ~5x slower, same semantics on well-formed markup).
+
+    Returns ``(kept_block_texts, n_kept, n_dropped, parse_failed)``.
+    """
+    sink = _BlockSink()
+    try:
+        _tokenize_fast(payload, sink)
+    except Exception:
+        return [], 0, 0, True
+    sink._flush()
+    kept, n_kept, n_dropped = _score_blocks(sink.blocks)
+    return kept, n_kept, n_dropped, False
+
+
+def html_strip_one_stdlib(payload: str) -> tuple[list[str], int, int, bool]:
+    """Differential reference using html.parser's tokenizer."""
+    parser = _BlockParser()
+    try:
+        parser.feed(payload)
+        parser.close()
+    except Exception:
+        return [], 0, 0, True
+
+    parser.sink._flush()
+    kept, n_kept, n_dropped = _score_blocks(parser.sink.blocks)
     return kept, n_kept, n_dropped, False

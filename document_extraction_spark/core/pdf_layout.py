@@ -35,20 +35,19 @@ X_GAP = 30.0     # new segment (column break) if horizontal gap > this
 CHAR_W = 6.0     # estimated glyph advance used for token extent
 
 _TOKEN = re.compile(r"^(\S+)@(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)$")
+# multiline equivalents: one pass over the page instead of per-line matching
+_TOKEN_ML = re.compile(
+    r"(?m)^[^\S\n]*(\S+)@(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)[^\S\n]*$"
+)
+_NONEMPTY_LINE = re.compile(r"(?m)^[^\S\n]*\S")
 
 
 def _parse_tokens(page_text: str) -> tuple[list[tuple[str, float, float]], int]:
-    tokens: list[tuple[str, float, float]] = []
-    bad = 0
-    for raw in page_text.split("\n"):
-        line = raw.strip()
-        if not line:
-            continue
-        m = _TOKEN.match(line)
-        if m:
-            tokens.append((m.group(1), float(m.group(2)), float(m.group(3))))
-        else:
-            bad += 1
+    """One-pass token parse; a non-empty line that isn't a well-formed
+    ``token@x,y`` counts as dropped (same semantics as per-line matching)."""
+    matches = _TOKEN_ML.findall(page_text)
+    tokens = [(w, float(x), float(y)) for w, x, y in matches]
+    bad = len(_NONEMPTY_LINE.findall(page_text)) - len(tokens)
     return tokens, bad
 
 
