@@ -548,6 +548,17 @@ def x_srp_lsh_topk(spark, sf_dir):
     return SIM.srp_lsh_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
+def x_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate nearest neighbours: k-means coarse quantizer +
+    inverted-list probe + exact re-rank (the scale path; recall tested vs
+    brute force in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 def x_media_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.synth_media_df(spark, d)
@@ -612,7 +623,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_binary_source": x_binary_source,
         "x_extract_documents_full": x_extract_documents_full,
         "x_srp_lsh_topk": x_srp_lsh_topk,
+        "x_ivf_ann_topk": x_ivf_ann_topk,
         "x_media_features": x_media_features,
+        "x_media_resize": lambda spark, sf_dir: MM.resize_images(
+            MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
+        ).orderBy("media_id"),
+        "x_media_frames": lambda spark, sf_dir: MM.sample_frames(
+            MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
+        ).orderBy("media_id", "frame_idx"),
         "x_streaming_extract": x_streaming_extract,
     }
 

@@ -92,6 +92,77 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("decode_failed", T.BooleanType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize plumbing (stub decode): the production kernel decodes
+    with PIL and re-encodes; the stand-in deterministically resamples the
+    raw byte stream to ``width*height`` bytes so batch shape, schema, and
+    partition behavior are the real thing."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out_rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None or len(buf) == 0:
+                    out_rows.append((mid, width, height, None, True))
+                    continue
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                idx = np.linspace(0, arr.size - 1, n).astype(np.int64)
+                out_rows.append((mid, width, height, arr[idx].tobytes(), False))
+            yield pd.DataFrame(
+                out_rows,
+                columns=["media_id", "width", "height", "payload", "decode_failed"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Video frame sampling plumbing (stub decode): emits ``n_frames``
+    evenly-spaced byte windows per media object with synthetic timestamps —
+    a 1->N row fan-out through mapInPandas, the same plan shape as a real
+    ffmpeg-backed sampler."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                if buf is None or len(buf) < frame_bytes:
+                    continue
+                step = max((len(buf) - frame_bytes) // max(n_frames - 1, 1), 1)
+                for i in range(n_frames):
+                    off = min(i * step, len(buf) - frame_bytes)
+                    ts = int(dur) * i // max(n_frames - 1, 1) if dur else 0
+                    rows.append((mid, i, ts, bytes(buf[off:off + frame_bytes])))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame"]
+            )
+
+    return media.select("media_id", "payload", "duration_ms").mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
+    )
+
+
 def synth_media_df(spark, documents: DataFrame, kind: str = "image") -> DataFrame:
     """Derive a deterministic fake media table from the documents corpus:
     payload bytes = utf-8 of the text (opaque to the pipeline)."""

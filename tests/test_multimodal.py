@@ -44,6 +44,32 @@ def test_real_decode_is_stubbed():
         MM.real_decode(b"x", "image/png")
 
 
+def test_resize_shapes_and_failures(spark, media):
+    out = {r["media_id"]: r for r in MM.resize_images(media, 8, 8).collect()}
+    assert len(out) == 4
+    assert len(out[1]["payload"]) == 64
+    assert out[1]["decode_failed"] is False
+    assert out[2]["decode_failed"] and out[2]["payload"] is None
+    assert out[3]["decode_failed"] is True
+    # deterministic: same input -> same bytes
+    again = {r["media_id"]: r for r in MM.resize_images(media, 8, 8).collect()}
+    assert again[1]["payload"] == out[1]["payload"]
+
+
+def test_frame_sampling_fanout(spark, media):
+    frames = MM.sample_frames(media, n_frames=4, frame_bytes=16).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {0, 1}  # empty/null payloads produce no frames
+    for mid, rows in by_media.items():
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
+        assert all(len(r["frame"]) == 16 for r in rows)
+    # media 1 has duration 1000ms -> evenly spaced timestamps
+    ts = sorted(r["frame_ts_ms"] for r in by_media[1])
+    assert ts == [0, 333, 666, 1000]
+
+
 def test_fake_decode_deterministic():
     s = pd.Series([b"hello world", b"hello world"])
     out = MM.fake_decode_features(s)

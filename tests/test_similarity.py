@@ -42,6 +42,31 @@ def test_srp_lsh_subset_of_exact_ranking(spark, emb):
     assert 1 in got_q0
 
 
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.ivf_topk(emb, queries, k=5, n_lists=4, n_probe=2,
+                          sample_n=40).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        hit += r["vec_id"] in exact_sets[r["query_id"]]
+    assert total > 0
+    assert hit / max(total, 1) >= 0.5  # half the lists probed -> decent recall
+    # full probe degenerates to exact: identical top-5 sets
+    full = SIM.ivf_topk(emb, queries, k=5, n_lists=4, n_probe=4, sample_n=40).collect()
+    full_sets = {}
+    for r in full:
+        full_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert full_sets == exact_sets
+    # the planted near-dup of query 0 must land in the same list
+    got_q0 = {r["vec_id"] for r in approx if r["query_id"] == 0}
+    assert 1 in got_q0
+
+
 def test_embedding_near_dup_blocking(spark, emb):
     # planted pair (0,1): same block (labels 0 and 1 differ!) -> adjust: both i%4
     # 0%4=0, 1%4=1 -> different blocks; so test blocking excludes the pair
