@@ -28,33 +28,23 @@ from document_extraction_spark.core import html_strip as H
 from document_extraction_spark.core import normalize as N
 from document_extraction_spark.core import pdf_layout as P
 
-# Output columns appended to the passthrough keys. Kept in one place so the
-# Spark schema (plans/extract_pipeline.py) and the oracle agree.
-RESULT_COLUMNS = [
-    "payload_kind",
-    "text",
-    "spans",
-    "n_blocks_kept",
-    "n_blocks_dropped",
-    "parse_failed",
-    "truncated",
-    "bytes_in",
-    "bytes_out",
-]
+def _finalize_text(kind: str, blocks: list[str], parse_failed: bool,
+                   raw: str) -> tuple[str, bool]:
+    """Shared tail: normalize kept blocks, join, degrade on failure.
+
+    Degrading to the normalized raw payload (instead of crashing) is the
+    deliberate divergence from the reference's uncaught json.loads
+    (extractor.py:120): no turn is silently lost."""
+    norm_blocks = [t for t in (N.normalize_one(b, fence=False) for b in blocks) if t]
+    if parse_failed or (not norm_blocks and kind != C.KIND_PLAIN):
+        return N.normalize_one(raw), True
+    return "\n\n".join(norm_blocks), parse_failed
 
 
 def _finalize(kind: str, blocks: list[str], n_kept: int, n_dropped: int,
               parse_failed: bool, raw: str) -> dict:
-    """Shared tail: normalize kept blocks, join, compute spans + metrics."""
-    norm_blocks = [t for t in (N.normalize_one(b, fence=False) for b in blocks) if t]
-    if parse_failed or (not norm_blocks and kind != C.KIND_PLAIN):
-        # degrade to normalized raw payload so no turn is silently lost —
-        # unlike the reference, which crashes on invalid payloads
-        # (extractor.py:120 uncaught json.loads)
-        text = N.normalize_one(raw)
-        parse_failed = True
-    else:
-        text = "\n\n".join(norm_blocks)
+    """Scalar-oracle tail: text + spans + byte metrics as one dict."""
+    text, parse_failed = _finalize_text(kind, blocks, parse_failed, raw)
     return {
         "payload_kind": kind,
         "text": text,
@@ -129,16 +119,28 @@ def extract_batch_pdf(pdf: pd.DataFrame, text_col: str = "text",
         n_kept.loc[m_plain] = (norm.str.len() > 0).astype("int64")
 
     # --- html / pdf paths: streaming parsers, batched ---------------------
+    # _finalize_text only: spans/byte metrics are computed vectorized below,
+    # so the per-row hot loop does no work that gets discarded
     for m, fn, k in ((kind == C.KIND_HTML, H.html_strip_one, C.KIND_HTML),
                      (kind == C.KIND_PDF, P.pdf_layout_one, C.KIND_PDF)):
         if not m.any():
             continue
-        res = [_finalize(k, *fn(s), s) for s in raw[m]]
-        sub = pd.DataFrame(res, index=raw.index[m])
-        text.loc[m] = sub["text"]
-        n_kept.loc[m] = sub["n_blocks_kept"]
-        n_dropped.loc[m] = sub["n_blocks_dropped"]
-        failed.loc[m] = sub["parse_failed"]
+        texts: list[str] = []
+        kept_l: list[int] = []
+        drop_l: list[int] = []
+        fail_l: list[bool] = []
+        for s in raw[m]:
+            blocks, nk, nd, pf = fn(s)
+            t, pf = _finalize_text(k, blocks, pf, s)
+            texts.append(t)
+            kept_l.append(nk)
+            drop_l.append(nd)
+            fail_l.append(pf)
+        idx = raw.index[m]
+        text.loc[m] = pd.Series(texts, index=idx, dtype="object")
+        n_kept.loc[m] = pd.Series(kept_l, index=idx, dtype="int64")
+        n_dropped.loc[m] = pd.Series(drop_l, index=idx, dtype="int64")
+        failed.loc[m] = pd.Series(fail_l, index=idx, dtype="bool")
 
     # spans as primitive offset arrays: Arrow converts list<int32> an order
     # of magnitude faster than list<struct>; the (kind,start,end) struct is

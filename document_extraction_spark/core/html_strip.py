@@ -97,20 +97,33 @@ class _BlockSink:
 
 class _BlockParser(HTMLParser):
     """stdlib-tokenizer variant — kept as the differential-testing reference
-    for the fast regex tokenizer below."""
+    for the fast regex tokenizer below. script/style elements are fully
+    invisible (tag AND content), matching the fast path's wholesale elision:
+    an inline ``<p>a <script>..</script> b</p>`` must not split the block."""
+
+    _RAWTEXT = ("script", "style")
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.sink = _BlockSink()
+        self._suppress = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
-        self.sink.start(tag.lower())
+        tag = tag.lower()
+        if tag in self._RAWTEXT:
+            self._suppress += 1
+            return
+        self.sink.start(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        self.sink.end(tag.lower())
+        tag = tag.lower()
+        if tag in self._RAWTEXT:
+            self._suppress = max(self._suppress - 1, 0)
+            return
+        self.sink.end(tag)
 
     def handle_data(self, data: str) -> None:
-        if any(t in ("script", "style") for t in self.sink.stack):
+        if self._suppress:
             return
         self.sink.data(data)
 
@@ -119,9 +132,13 @@ import re as _re
 from html import unescape as _unescape
 
 # raw-text elements removed wholesale (HTMLParser never emits their content
-# as data when they are suppressed above); comments likewise
+# as data when they are suppressed above); comments likewise. An unterminated
+# rawtext element swallows to end-of-payload, matching the stdlib tokenizer's
+# suppress-to-EOF behavior.
 _RE_RAWTEXT = _re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_RE_RAWTEXT_OPEN = _re.compile(r"(?is)<(?:script|style)\b[^>]*>.*\Z")
 _RE_COMMENT = _re.compile(r"<!--.*?-->", _re.S)
+_RAWTEXT_NAMES = ("script", "style")
 # one pass over the payload: a tag token or a text run. Attribute values may
 # contain '>' inside quotes — the attr body alternation respects quoting.
 _RE_TOKEN = _re.compile(
@@ -133,7 +150,7 @@ _RE_TOKEN = _re.compile(
 
 
 def _tokenize_fast(payload: str, sink: _BlockSink) -> None:
-    payload = _RE_COMMENT.sub("", _RE_RAWTEXT.sub("", payload))
+    payload = _RE_RAWTEXT_OPEN.sub("", _RE_COMMENT.sub("", _RE_RAWTEXT.sub("", payload)))
     for m in _RE_TOKEN.finditer(payload):
         text = m.group("text")
         if text is not None:
@@ -142,6 +159,8 @@ def _tokenize_fast(payload: str, sink: _BlockSink) -> None:
             sink.data(text)
             continue
         name = m.group("name").lower()
+        if name in _RAWTEXT_NAMES:
+            continue  # stray </script> etc. — invisible, like the stdlib path
         if m.group("close"):
             sink.end(name)
         else:

@@ -34,8 +34,7 @@ LEADING = 20.0   # same block if vertical gap <= this
 X_GAP = 30.0     # new segment (column break) if horizontal gap > this
 CHAR_W = 6.0     # estimated glyph advance used for token extent
 
-_TOKEN = re.compile(r"^(\S+)@(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)$")
-# multiline equivalents: one pass over the page instead of per-line matching
+# one pass over the page instead of per-line matching
 _TOKEN_ML = re.compile(
     r"(?m)^[^\S\n]*(\S+)@(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?)[^\S\n]*$"
 )

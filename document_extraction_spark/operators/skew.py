@@ -23,7 +23,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join ``big`` (skewed on ``key``) with ``small`` on ``key`` using a
-    salted key. Output columns = big's columns + small's non-key columns."""
+    salted key. Output columns = big's columns + small's non-key columns.
+
+    Only ``inner`` and ``left`` (outer on the big side) are salt-safe: the
+    small side is replicated across all salts, so any join flavor that emits
+    unmatched small rows would emit them ``factor`` times."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): "
+            "the replicated small side would duplicate unmatched rows"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(factor)).cast("int")
     )

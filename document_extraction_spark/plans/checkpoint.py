@@ -105,13 +105,20 @@ def run_resumable(
         (
             extracted.sortWithinPartitions("conv_id", "turn_idx")
             .write.mode("overwrite")
+            # pinned on the writer: relying on the session conf would wipe
+            # previously committed buckets under the default static mode
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(dst_path)
         )  # dynamic mode: only buckets present in this wave are replaced
 
+        try:
+            written = spark.read.parquet(dst_path)
+        except Exception:
+            # a wave whose buckets were all empty leaves no data files yet
+            written = None
         stats = (
-            spark.read.parquet(dst_path)
-            .filter(F.col("bucket").isin(wave))
+            written.filter(F.col("bucket").isin(wave))
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("n_turns"),
@@ -122,7 +129,7 @@ def run_resumable(
                 F.sum("bytes_out").alias("bytes_out"),
             )
             .collect()
-        )
+        ) if written is not None else []
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         by_bucket = {r["bucket"]: r for r in stats}
         manifest_rows = [

@@ -39,12 +39,18 @@ def _update(
     key: tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
+    if state.hasTimedOut:
+        # idle conversation: evict (bounds the state store at 10^12-turn
+        # scale) and emit nothing — no re-arm, no duplicate output row
+        state.remove()
+        return
     n_turns, bytes_seen, max_idx = (
         state.get if state.exists else (0, 0, -1)
     )
     for pdf in pdfs:
         n_turns += len(pdf)
-        bytes_seen += int(pdf["text"].fillna("").str.len().sum())
+        # utf-8 byte count, matching the batch pipeline's bytes_in metric
+        bytes_seen += int(pdf["text"].fillna("").str.encode("utf-8").str.len().sum())
         if len(pdf):
             max_idx = max(max_idx, int(pdf["turn_idx"].max()))
     state.update((n_turns, bytes_seen, max_idx))

@@ -27,6 +27,12 @@ ADVERSARIAL = [
     "<ul><li>item one is reasonably long</li><li>item two is also long enough</li></ul>",
     "text before any tag at all <p>then a paragraph with enough text to keep</p>",
     "<style>p{color:red}</style><p>styling stripped but this body text remains</p>",
+    # inline rawtext inside a block must not split the block
+    "<p>hello before the script <script>var x=1;</script> and world after it</p>",
+    # unterminated rawtext swallows to end of payload in both tokenizers
+    "<p>kept paragraph before an unterminated script tag</p><script>gone",
+    # stray close tag without an opener is invisible in both
+    "<p>text before a stray close</p></script><p>text after the stray close tag</p>",
 ]
 
 
