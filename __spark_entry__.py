@@ -407,6 +407,58 @@ def q_running_revenue(spark, sf_dir):
     )
 
 
+def q_argmax_order_per_cust(spark, sf_dir):
+    """max_by/min_by aggregates: each customer's priciest and cheapest order."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        # tie-proof scalar ordering key: exact integer cents * 1e6 + orderkey
+        o.withColumn(
+            "price_key",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            * 1000000 + F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("max_by(o_orderkey, price_key)").alias("max_order"),
+            F.expr("min_by(o_orderkey, price_key)").alias("min_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .filter(F.col("o_custkey") <= 150)
+        .orderBy("o_custkey")
+    )
+
+
+def q_order_deciles(spark, sf_dir):
+    """ntile window: decile of each order by price within its status."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderstatus", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("floor_price"),
+        )
+        .orderBy("o_orderstatus", "decile")
+    )
+
+
+def q_conditional_aggs(spark, sf_dir):
+    """Filtered/conditional aggregation: per-type error and high-value rates."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("value") > 50).alias("n_high"),
+            F.round(
+                F.sum(F.when(F.col("value") > 50, _dec("value"))), 2
+            ).cast("double").alias("sum_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_event_type_map(spark, sf_dir):
     """Map functions: per-user event_type->count map built with
     map_from_entries, then deconstructed with map_keys/map_values (arrays
@@ -615,6 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_above_avg_balance": q_above_avg_balance,
         "q_nations_with_both": q_nations_with_both,
         "q_running_revenue": q_running_revenue,
+        "q_argmax_order_per_cust": q_argmax_order_per_cust,
+        "q_order_deciles": q_order_deciles,
+        "q_conditional_aggs": q_conditional_aggs,
         "q_event_type_map": q_event_type_map,
         "q_sentence_explode": q_sentence_explode,
         "q_salted_skew_join": x_salted_skew_join,
@@ -918,6 +973,34 @@ def oracle_sql() -> dict[str, str]:
                      AS running_total
             FROM orders WHERE o_custkey <= 100
             ORDER BY o_custkey, o_orderkey
+        """,
+        "q_argmax_order_per_cust": """
+            WITH k AS (
+              SELECT *, (o_totalprice::DECIMAL(18,2) * 100)::BIGINT * 1000000
+                        + o_orderkey AS price_key
+              FROM orders)
+            SELECT o_custkey,
+                   arg_max(o_orderkey, price_key) AS max_order,
+                   arg_min(o_orderkey, price_key) AS min_order,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM k GROUP BY o_custkey HAVING o_custkey <= 150
+            ORDER BY o_custkey
+        """,
+        "q_order_deciles": """
+            WITH d AS (
+              SELECT o_orderstatus, o_totalprice,
+                     ntile(10) OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice, o_orderkey) AS decile
+              FROM orders)
+            SELECT o_orderstatus, decile, count(*) AS n_orders,
+                   round(min(o_totalprice), 2) AS floor_price
+            FROM d GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_conditional_aggs": """
+            SELECT event_type, count(*) AS n,
+                   count(*) FILTER (WHERE value > 50) AS n_high,
+                   round(sum(value::DECIMAL(18,4)) FILTER (WHERE value > 50), 2)::DOUBLE AS sum_high
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q_event_type_map": """
             WITH counts AS (
