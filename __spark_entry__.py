@@ -533,7 +533,9 @@ def x_pandas_udf_classify(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
 
     from document_extraction_spark.core.classify import classify_series
+    from document_extraction_spark.session import ensure_worker_package
 
+    ensure_worker_package(spark)
     classify_udf = pandas_udf(lambda s: classify_series(s), "string")
 
     d = _t(spark, sf_dir, "documents")

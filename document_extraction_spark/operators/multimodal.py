@@ -80,6 +80,9 @@ def fake_decode_features(payloads: pd.Series) -> pd.DataFrame:
 
 def extract_media_features(media: DataFrame) -> DataFrame:
     """media table -> per-object feature rows, Arrow-batched."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(media.sparkSession)
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -118,6 +121,10 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     raw byte stream to ``width*height`` bytes so batch shape, schema, and
     partition behavior are the real thing."""
 
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(media.sparkSession)
+
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         n = width * height
         for pdf in batches:
@@ -142,6 +149,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) ->
     evenly-spaced byte windows per media object with synthetic timestamps —
     a 1->N row fan-out through mapInPandas, the same plan shape as a real
     ffmpeg-backed sampler."""
+
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(media.sparkSession)
 
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:

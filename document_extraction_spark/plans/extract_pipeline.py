@@ -109,6 +109,9 @@ def build_extract_df(
         plan = plan.repartition(
             partitions, F.xxhash64("conv_id", "turn_idx", F.lit(salt))
         )
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(df.sparkSession)
     kernel = (
         extract_map_in_pandas
         if max_payload_chars is None

@@ -59,6 +59,15 @@ def get_spark(
     return spark
 
 
+def ensure_worker_package(spark: SparkSession) -> None:
+    """Idempotent: make this package importable on executor Python workers.
+
+    Called defensively by every operator that runs Python on workers
+    (mapInPandas / pandas_udf), so the engine works under ANY SparkSession —
+    including harnesses that build their own session without --py-files."""
+    _ship_package(spark)
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executor Python workers (the programmatic
     equivalent of ``spark-submit --py-files pkg.zip`` from the north rule).

@@ -67,6 +67,9 @@ def _update(
 
 def conversation_stats_stream(sdf: DataFrame) -> DataFrame:
     """Streaming per-conversation running stats (update mode)."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(sdf.sparkSession)
     return (
         sdf.select("conv_id", "turn_idx", "text")
         .groupBy("conv_id")
