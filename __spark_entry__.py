@@ -235,6 +235,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Full dedup pipeline tail: connected components (min-label
+    propagation) over the n-gram-Jaccard near-dup pair graph."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.2)
+    return DD.dedup_clusters(pairs).orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.simhash(d).orderBy("doc_id")
@@ -655,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_near_dup_clusters": q_near_dup_clusters,
         "q_simhash": q_simhash,
         "q_ann_topk": q_ann_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
@@ -889,6 +898,36 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) >= 0.2
             ORDER BY doc_a, doc_b
+        """,
+        "q_near_dup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(tk) >= 3
+                     THEN [array_to_string(list_slice(tk, i, i+2), ' ') for i in generate_series(1, len(tk)-2)]
+                     ELSE [array_to_string(tk, ' ')] END)) AS shingle
+              FROM toks
+            ), sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) >= 0.2),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "q_simhash": _sql_simhash(),
         "q_ann_topk": f"""

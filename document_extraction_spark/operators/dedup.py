@@ -169,6 +169,51 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.6,
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id).
+
+    cluster_id = the smallest doc_id reachable through the pair graph
+    (min-label propagation, the standard distributed CC: each iteration is
+    one join + groupBy-min, converging in O(graph diameter) rounds — near-dup
+    graphs are shallow, so a handful of rounds at any scale). The driver loop
+    only checks a one-row convergence aggregate per round."""
+    edges = (
+        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+        .union(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(edges.u)
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("u").alias("node"), "nmin")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            labels.alias("a")
+            .join(new_labels.alias("b"), "node")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash signature: per-token 60-bit md5 hash, per-bit +-1 votes over
