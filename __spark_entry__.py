@@ -339,12 +339,15 @@ def q_string_functions(spark, sf_dir):
 
 
 def q_user_event_arrays(spark, sf_dir):
+    """Array functions (collect_set/array_sort/size). Array columns are
+    serialized with to_json in the contract projection — the driver's
+    canonicalizer can't hash raw list cells (round-1 ERR)."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("event_types"),
-            F.size(F.array_sort(F.collect_set("event_type"))).alias("n_types"),
+            F.to_json(F.array_sort(F.collect_set("event_type"))).alias("event_types"),
+            F.size(F.collect_set("event_type")).alias("n_types"),
         )
         .filter(F.col("user_id") <= 50)
         .orderBy("user_id")
@@ -484,8 +487,8 @@ def q_event_type_map(spark, sf_dir):
     return (
         m.select(
             "user_id",
-            F.map_keys("type_counts").alias("types"),
-            F.map_values("type_counts").alias("counts"),
+            F.to_json(F.map_keys("type_counts")).alias("types"),
+            F.to_json(F.map_values("type_counts")).alias("counts"),
             F.size(F.map_keys("type_counts")).alias("n_types"),
         )
         .filter(F.col("user_id") <= 40)
@@ -591,7 +594,9 @@ def x_salted_skew_join(spark, sf_dir):
 
 def x_extract_documents_full(spark, sf_dir):
     """Full extraction output (spans struct array etc.) — mapInPandas kernel;
-    correctness carried by the pytest keyed-equality gate."""
+    correctness carried by the pytest keyed-equality gate. The spans array is
+    serialized with to_json for the contract (driver canonicalizer can't hash
+    raw list cells — round-1 ERR); tests exercise the raw struct array."""
     d = _t(spark, sf_dir, "documents")
     turns = d.select(
         F.col("doc_id").cast("string").alias("conv_id"),
@@ -601,7 +606,8 @@ def x_extract_documents_full(spark, sf_dir):
         F.lit(None).cast("timestamp").alias("ts"),
         "text",
     )
-    return build_extract_df(turns, partitions=8)
+    out = build_extract_df(turns, partitions=8)
+    return out.withColumn("spans", F.to_json("spans"))
 
 
 def x_srp_lsh_topk(spark, sf_dir):
@@ -624,7 +630,13 @@ def x_ivf_ann_topk(spark, sf_dir):
 def x_media_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.synth_media_df(spark, d)
-    return MM.extract_media_features(media).orderBy("media_id")
+    feats = MM.extract_media_features(media)
+    # features is array<float>; serialize rounded values for the contract
+    # (driver canonicalizer can't hash raw list cells)
+    return feats.withColumn(
+        "features",
+        F.to_json(F.transform("features", lambda x: F.round(x.cast("double"), 4))),
+    ).orderBy("media_id")
 
 
 def x_streaming_extract(spark, sf_dir):
@@ -641,7 +653,11 @@ def x_streaming_extract(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="dex_stream_ckpt_") + "/ckpt"
     write_transcripts_parquet(src, n_convs=5, seed=31, rows_per_file=50)
     run_extract_stream(spark, src, dst, ckpt).awaitTermination(300)
-    return spark.read.parquet(dst).orderBy("conv_id", "turn_idx")
+    return (
+        spark.read.parquet(dst)
+        .withColumn("spans", F.to_json("spans"))
+        .orderBy("conv_id", "turn_idx")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -709,7 +725,7 @@ _SQL_SHINGLES = """
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
-  FROM documents
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(tk) >= 3
@@ -730,7 +746,7 @@ def _sql_minhash_sig() -> str:
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
-  FROM documents
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
 ), sharr AS (
   SELECT doc_id, list_distinct(
     CASE WHEN len(tk) >= 3
@@ -757,7 +773,7 @@ def _sql_simhash() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS tok
-  FROM documents
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
 ), hashed AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
 ), votes AS (
@@ -766,6 +782,9 @@ WITH toks AS (
 SELECT doc_id, {sig} AS simhash FROM votes ORDER BY doc_id
 """
 
+
+# ASCII whitespace charset for DuckDB trim() (Python str.strip() analogue)
+_WS_SET = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
 _SQL_COS = (
     "(list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
@@ -815,7 +834,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand ORDER BY p_brand
         """,
         "q_docs_rollup": """
-            SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM documents GROUP BY ROLLUP (source, lang)
             ORDER BY source, lang
         """,
@@ -831,13 +850,13 @@ def oracle_sql() -> dict[str, str]:
                      epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
               FROM events)
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
         "q_events_json": """
             SELECT event_type,
-                   sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                    count(json_extract_string(props, '$.k')) AS n_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -977,7 +996,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_user_event_arrays": """
             SELECT user_id,
-                   list_sort(list_distinct(list(event_type))) AS event_types,
+                   to_json(list_sort(list_distinct(list(event_type))))::VARCHAR AS event_types,
                    len(list_distinct(list(event_type)))::INT AS n_types
             FROM events GROUP BY user_id HAVING user_id <= 50 ORDER BY user_id
         """,
@@ -1048,8 +1067,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_type, count(*) AS n
               FROM events GROUP BY 1, 2)
             SELECT user_id,
-                   list_sort(list(event_type)) AS types,
-                   [p[2]::BIGINT for p in list_sort(list([event_type, n::VARCHAR]))] AS counts,
+                   to_json(list_sort(list(event_type)))::VARCHAR AS types,
+                   to_json([p[2]::BIGINT for p in list_sort(list([event_type, n::VARCHAR]))])::VARCHAR AS counts,
                    len(list(event_type))::INT AS n_types
             FROM counts GROUP BY user_id HAVING user_id <= 40 ORDER BY user_id
         """,
@@ -1069,11 +1088,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
-        "q_extract_plain_docs": """
-            SELECT doc_id,
-                   trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS extracted,
-                   CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END::BIGINT AS n_blocks_kept,
+        # faithful SQL twin of core/normalize.py normalize_one (fence strip
+        # slices, NFC, CRLF->LF, horizontal-ws collapse, per-line trim, 3+
+        # newlines -> 2, strip) — differentially tested against the Python
+        # scalar oracle incl. fence/newline cases, so a corpus refresh with
+        # fences or multi-line docs keeps parity (round-1 oracle silently
+        # relied on the corpus being single-line and fence-free). ASCII
+        # whitespace only — matches this corpus; the Python side also strips
+        # unicode spaces (tests/ cover that path).
+        "q_extract_plain_docs": f"""
+            WITH s0 AS (SELECT doc_id, trim(coalesce(text,''), {_WS_SET}) AS t FROM documents),
+            s1 AS (SELECT doc_id, CASE WHEN t LIKE '```json%' THEN substr(t, 8) ELSE t END AS t FROM s0),
+            s2 AS (SELECT doc_id, CASE WHEN t LIKE '```%' THEN substr(t, 4) ELSE t END AS t FROM s1),
+            s3 AS (SELECT doc_id, CASE WHEN t LIKE '%```' THEN substr(t, 1, greatest(length(t)-3,0)) ELSE t END AS t FROM s2),
+            s4 AS (SELECT doc_id, nfc_normalize(trim(t, {_WS_SET})) AS t FROM s3),
+            s5 AS (SELECT doc_id, replace(replace(t, chr(13)||chr(10), chr(10)), chr(13), chr(10)) AS t FROM s4),
+            s6 AS (SELECT doc_id, regexp_replace(t, '[^\\S\\n]+', ' ', 'g') AS t FROM s5),
+            s7 AS (SELECT doc_id, regexp_replace(t, '[^\\S\\n]*\\n[^\\S\\n]*', chr(10), 'g') AS t FROM s6),
+            s8 AS (SELECT doc_id, regexp_replace(t, '\\n{{3,}}', chr(10)||chr(10), 'g') AS t FROM s7),
+            fin AS (SELECT doc_id, trim(t, {_WS_SET}) AS t FROM s8)
+            SELECT doc_id, t AS extracted,
+                   CASE WHEN length(t) > 0 THEN 1 ELSE 0 END::BIGINT AS n_blocks_kept,
                    false AS parse_failed
-            FROM documents ORDER BY doc_id
+            FROM fin ORDER BY doc_id
         """,
     }

@@ -97,6 +97,9 @@ def extract_batch_pdf(pdf: pd.DataFrame, text_col: str = "text",
     equality with the uncapped reference).
     """
     raw = pdf[text_col].fillna("").astype("object")
+    # lineage metric: bytes_in reports the RAW input size, pre-truncation —
+    # post-truncation it would under-report exactly the rows the cap hit
+    bytes_in = raw.str.encode("utf-8").str.len().astype("int64")
     truncated = pd.Series(False, index=raw.index, dtype="bool")
     if max_chars is not None:
         lens = raw.str.len()
@@ -164,7 +167,7 @@ def extract_batch_pdf(pdf: pd.DataFrame, text_col: str = "text",
     out["n_blocks_dropped"] = n_dropped
     out["parse_failed"] = failed
     out["truncated"] = truncated
-    out["bytes_in"] = raw.str.encode("utf-8").str.len().astype("int64")
+    out["bytes_in"] = bytes_in
     out["bytes_out"] = text.str.encode("utf-8").str.len().astype("int64")
     return out
 

@@ -58,8 +58,18 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _tokens_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
-    return df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+    """Tokenize non-empty docs. NULL/empty text is filtered here: a NULL doc
+    would otherwise produce NULL minhash windows which concat_ws silently
+    skips — every NULL doc landing in one shared LSH bucket (md5('')), while
+    SQL oracles propagate NULL and emit nothing. Dropping them keeps Spark
+    and oracle semantics identical (mirror `WHERE text IS NOT NULL AND
+    trim(text) <> ''` in oracle SQL)."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    return (
+        df.filter(c.isNotNull() & (F.trim(c) != ""))
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+    )
 
 
 def shingle_array_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -201,6 +211,10 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("label"),
             )
         )
+        # checkpoint FIRST (cut lineage), then count changes against the
+        # checkpointed frame — counting the un-checkpointed plan would
+        # evaluate the round's join twice
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             labels.alias("a")
             .join(new_labels.alias("b"), "node")
@@ -208,9 +222,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation moves one hop per round: a chain-shaped
+        # component with radius > max_iters would silently get wrong ids
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -33,8 +33,16 @@ def salted_join(
             f"salted_join supports how='inner'|'left' only (got {how!r}): "
             "the replicated small side would duplicate unmatched rows"
         )
+    # salt from row POSITION, not row content: content-derived salt maps
+    # identical duplicate rows (the classic hot-key shape) to ONE salt value,
+    # leaving the hot key unsplit. partition_id + monotonic id is unique per
+    # row and deterministic per task layout.
     big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(factor)).cast("int")
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(factor),
+        ).cast("int"),
     )
     salts = small.sparkSession.range(factor).select(F.col("id").cast("int").alias("_salt"))
     small_s = small.crossJoin(salts)  # replicate small side across all salts

@@ -78,8 +78,12 @@ class TableIO:
         if self.catalog:
             df.writeTo(self._ident(name)).overwritePartitions()
         else:
+            # pin dynamic mode ON THE WRITER: under a session left at the
+            # default static mode, mode('overwrite').partitionBy(...) would
+            # delete ALL partitions of the table, not just those in df
             (
                 df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(*partition_cols)
                 .parquet(self._ident(name))
-            )  # requires spark.sql.sources.partitionOverwriteMode=dynamic
+            )

@@ -24,7 +24,11 @@ def test_oversized_payload_truncation(spark):
     assert out[1]["truncated"] is True
     # truncation happens BEFORE extraction: result == oracle of the capped payload
     assert out[1]["text"] == extract_one("x" * 1000)["text"]
-    assert out[1]["bytes_in"] == 1000  # metrics reflect processed bytes
+    # lineage reports RAW input bytes (pre-truncation): summing bytes_in over
+    # a run must equal the source's total payload size, truncated or not
+    assert out[1]["bytes_in"] == 5000
+    assert out[1]["bytes_out"] == 1000
+    assert out[0]["bytes_in"] == len(b"short plain text")
 
     # default: no cap, equality with uncapped oracle preserved
     out2 = {r["turn_idx"]: r for r in build_extract_df(df).collect()}
@@ -56,6 +60,29 @@ def test_tableio_parquet_roundtrip(spark, tmp_path):
     # second overwrite of the same partition is idempotent
     io2.overwrite_partitions(part, "t1", ["bucket"])
     assert io2.read("t1").count() == 7
+
+
+def test_tableio_overwrite_safe_under_static_session(spark, tmp_path):
+    """The writer pins partitionOverwriteMode=dynamic itself: under a session
+    left at the default STATIC mode, mode('overwrite').partitionBy() would
+    silently delete ALL partitions, not just those present in df."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        io = TableIO(spark, str(tmp_path))
+        df = spark.range(6).select(
+            F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+        )
+        io.append(df, "t2", ["bucket"])
+        one = spark.range(50, 51).select(
+            F.col("id"), F.lit(0).cast("int").alias("bucket")
+        )
+        io.overwrite_partitions(one, "t2", ["bucket"])
+        left = io.read("t2")
+        assert left.filter(F.col("bucket") == 0).count() == 1   # replaced
+        assert left.filter(F.col("bucket") != 0).count() == 4   # survived
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def test_tableio_iceberg_guard(spark, tmp_path):

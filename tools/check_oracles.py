@@ -22,11 +22,36 @@ SF_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def _canon_value(v):
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    return "object"
+
+
+def _raw_array_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells are raw lists/arrays/dicts — the DRIVER's
+    canonicalizer crashes on these (`unhashable type: 'list'` in
+    sort_values); round-1 lost 5 entries to it. Contract queries must
+    serialize such columns (to_json) on BOTH sides."""
     import numpy as np
 
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return repr([_canon_value(x) for x in v])
+    bad = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            head = s.dropna().head(20)
+            if any(isinstance(v, (list, tuple, dict, np.ndarray)) for v in head):
+                bad.append(c)
+    return bad
+
+
+def _canon_value(v):
     return repr(v)
 
 
@@ -51,6 +76,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     errs = []
     if sorted(sdf.columns) != sorted(odf.columns):
         return [f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    raw = _raw_array_cols(sdf) + _raw_array_cols(odf)
+    if raw:
+        return [f"raw array/map column(s) {sorted(set(raw))} — driver canonicalizer "
+                "crashes on these; serialize with to_json on both sides"]
+    # the driver hashes typed values: int64 vs float64 is a hash mismatch
+    # even when numerically equal (round-1 root cause of 3 FAILs)
+    for c in sorted(sdf.columns):
+        ks, ko = _kind(sdf[c]), _kind(odf[c])
+        if ks != ko:
+            errs.append(f"col {c}: dtype kind spark={ks} oracle={ko} "
+                        "(driver hash mismatch even if values equal)")
+    if errs:
+        return errs
     if len(sdf) != len(odf):
         errs.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
     a, b = canon(sdf), canon(odf)
@@ -98,6 +136,12 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
+            raw = _raw_array_cols(sdf)
+            if raw:
+                failures += 1
+                print(f"FAIL  {name}: raw array/map column(s) {raw} — driver "
+                      "canonicalizer crashes; serialize with to_json")
+                continue
             print(f"rows  {name}: {len(sdf)} rows (rows-only check, no oracle)")
             if len(sdf) == 0 and not name.startswith("x_"):
                 print(f"WARN  {name}: zero rows")
