@@ -235,11 +235,24 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return DD.ngram_jaccard_pairs(d, threshold=0.2).orderBy("doc_a", "doc_b")
 
 
-def q_near_dup_clusters(spark, sf_dir):
-    """Full dedup pipeline tail: connected components (min-label
-    propagation) over the n-gram-Jaccard near-dup pair graph."""
+def q_lsh_jaccard_verified(spark, sf_dir):
+    """The scale-safe dedup middle: exact Jaccard verification keyed by the
+    MinHash-LSH candidate pairs (NOT the full shingle self-join — see
+    operators/dedup.py jaccard_verify_candidates for why the full join is a
+    cartesian bomb at 100 TB)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.2)
+    return DD.near_dup_pairs_pipeline(d, threshold=0.2).orderBy("doc_a", "doc_b")
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Full dedup pipeline tail: connected components (min-label propagation)
+    over the near-dup pair graph. Pairs come from the composed scale path
+    (LSH candidates -> keyed Jaccard verify); the recursive-CTE oracle builds
+    the same graph from the full exact-Jaccard pair set — equality holds
+    because LSH has full recall at this threshold on this corpus (the
+    small-scale cross-check ngram_jaccard_pairs == pipeline is pytest-pinned)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_pipeline(d, threshold=0.2)
     return DD.dedup_clusters(pairs).orderBy("doc_id")
 
 
@@ -679,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_near_dup_clusters": q_near_dup_clusters,
         "q_simhash": q_simhash,
         "q_ann_topk": q_ann_topk,
@@ -910,6 +924,30 @@ def oracle_sql() -> dict[str, str]:
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, n_inter,
+                   round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) >= 0.2
+            ORDER BY doc_a, doc_b
+        """,
+        "q_lsh_jaccard_verified": _sql_minhash_sig() + f"""
+            , banded AS (
+              SELECT doc_id,
+                     unnest([{", ".join(
+                         f"'{b}:' || md5(h{b*2} || '|' || h{b*2+1})" for b in range(DD.LSH_BANDS)
+                     )}]) AS bucket
+              FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            shex AS (SELECT doc_id, unnest(sh) AS shingle FROM sharr),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shex GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+              FROM cand c JOIN shex a ON a.doc_id = c.doc_a
+                          JOIN shex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
               GROUP BY 1, 2)
             SELECT doc_a, doc_b, n_inter,
                    round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) AS jaccard

@@ -47,6 +47,61 @@ def test_ngram_jaccard_values(spark, docs):
     assert (0, 4) not in out
 
 
+def test_jaccard_verify_candidates_matches_full_join(spark, docs):
+    """The scale path (LSH candidates -> keyed Jaccard verify) must equal the
+    full shingle self-join wherever LSH recall is total — which holds on this
+    fixture (all >=0.1-Jaccard pairs share a band)."""
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    piped = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in DD.near_dup_pairs_pipeline(docs, threshold=0.1).collect()
+    }
+    assert piped == full
+
+
+def test_jaccard_verify_subset_of_candidates(spark, docs):
+    """Verification never invents pairs outside the candidate set."""
+    sig = DD.minhash_signatures(docs)
+    cand = {(r["doc_a"], r["doc_b"]) for r in DD.lsh_candidate_pairs(sig).collect()}
+    ver = DD.jaccard_verify_candidates(docs, DD.lsh_candidate_pairs(sig), threshold=0.0)
+    got = {(r["doc_a"], r["doc_b"]) for r in ver.collect()}
+    assert got <= cand
+
+
+def test_jaccard_verify_max_shingle_df(spark, docs):
+    """The document-frequency cap drops corpus-common shingles consistently
+    from both numerator and denominator: with a cap of 1, no shingle is
+    shared, so no pair survives any positive threshold."""
+    sig = DD.minhash_signatures(docs)
+    ver = DD.jaccard_verify_candidates(
+        docs, DD.lsh_candidate_pairs(sig), threshold=0.1, max_shingle_df=1
+    )
+    assert ver.count() == 0
+
+
+def test_null_and_empty_text_excluded_from_lsh(spark):
+    """NULL/empty docs must not pair with each other (round-1 ADVICE: they
+    all hashed to bucket md5('') on the Spark side while SQL oracles
+    propagated NULL and emitted nothing)."""
+    rows = [
+        (0, "shared words for a real pair of documents here"),
+        (1, "shared words for a real pair of documents too"),
+        (2, None),
+        (3, None),
+        (4, ""),
+        (5, "   "),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = DD.minhash_signatures(docs)
+    assert {r["doc_id"] for r in sig.collect()} == {0, 1}
+    pairs = {(r["doc_a"], r["doc_b"]) for r in DD.lsh_candidate_pairs(sig).collect()}
+    assert all(a in (0, 1) and b in (0, 1) for a, b in pairs)
+    assert {r["doc_id"] for r in DD.simhash(docs).collect()} == {0, 1}
+
+
 def test_simhash_properties(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs).collect()}
     assert sigs[0] == sigs[1]  # identical text
