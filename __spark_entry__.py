@@ -25,6 +25,7 @@ from document_extraction_spark.functions import textstats as TS
 from document_extraction_spark.operators import dedup as DD
 from document_extraction_spark.operators import multimodal as MM
 from document_extraction_spark.operators import similarity as SIM
+from document_extraction_spark.operators import structured as ST
 from document_extraction_spark.plans.extract_pipeline import build_extract_df
 
 
@@ -219,6 +220,35 @@ def q_doc_lang_guess(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF salient terms per document (two-shuffle plan with map-side
+    combine; corpus size broadcast, no driver collect)."""
+    from document_extraction_spark.operators.tfidf import tf_idf_top_terms
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tf_idf_top_terms(d, k=5).orderBy("doc_id", "rank")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing pass (URL/email/phone -> placeholder tokens) over
+    payloads with deterministically injected PII — pure regexp_replace
+    chain, codegen'd, zero Python."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://ex.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        F.lit(" :: "),
+        F.substring("text", 1, 60),
+    )
+    return d.select(
+        "doc_id", TS.scrub_pii(payload).alias("scrubbed")
+    ).orderBy("doc_id")
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(d).orderBy("fp")
@@ -295,6 +325,25 @@ def q_extract_plain_docs(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def q_structured_extract(spark, sf_dir):
+    """Schema-by-example structured extraction (reference extractor.py:76-132):
+    runtime user schema -> fence strip -> from_json, null-for-missing.
+    Half the payloads are wrapped in markdown fences to exercise the strip
+    path; 'label' is absent from every payload (always-null column)."""
+    e = _t(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("```json\n"), F.col("props"), F.lit("\n```")),
+    ).otherwise(F.col("props"))
+    df = e.select("event_id", payload.alias("payload")).filter(
+        F.col("event_id") < 500
+    )
+    out = ST.structured_extract(
+        df, {"k": 0, "label": ""}, payload_col="payload", keep_cols=["event_id"]
+    )
+    return out.select("event_id", "k", "label", "parse_failed").orderBy("event_id")
 
 
 def q_cube_orders(spark, sf_dir):
@@ -509,6 +558,49 @@ def q_event_type_map(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (union + last-ignorenulls window — no join node, no
+    per-key quadratic pairing): each purchase matched to the user's most
+    recent prior-or-same-instant view. Views pre-deduped on (user, ts) so
+    the match is well-defined on both engines."""
+    from document_extraction_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(purchases, views, on="ts", by=["user_id"])
+    return out.select(
+        "user_id", "event_id", F.col("view_id_right").alias("last_view_id")
+    ).orderBy("user_id", "event_id")
+
+
+def q_range_join(spark, sf_dir):
+    """Range (interval-containment) join via time-slot bucketing — the plan
+    is a slot equi-join + exact filter, never a BroadcastNestedLoopJoin:
+    events inside each user's first-2-hours window."""
+    from document_extraction_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    iv = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    pts = e.select("user_id", "event_id", "ts")
+    j = range_join(pts, iv, "ts", "w_start", "w_end", by=["user_id"], slot_seconds=3600)
+    return (
+        j.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+        .orderBy("user_id")
+    )
+
+
 def q_sentence_explode(spark, sf_dir):
     """Lateral view / posexplode: sentences with ordinal positions."""
     d = _t(spark, sf_dir, "documents")
@@ -521,6 +613,69 @@ def q_sentence_explode(spark, sf_dir):
         .filter(F.trim(F.col("sentence")) != "")
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "sentence")
         .orderBy("doc_id", "pos")
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): per-source, per-lang, and
+    grand-total document stats in one pass."""
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("_docs_gs")
+    return spark.sql(
+        """
+        SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        FROM _docs_gs
+        GROUP BY GROUPING SETS ((source), (lang), ())
+        ORDER BY source, lang
+        """
+    )
+
+
+def q_grouped_agg_udaf(spark, sf_dir):
+    """User-defined AGGREGATE function surface (grouped-agg pandas UDF,
+    SURVEY.md §2.3 UDF/UDAF/UDTF row): weighted integer sum per event type.
+    Exact int64 arithmetic so the oracle comparison is order-independent."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module's `from __future__ import
+    # annotations` stringifies type hints, breaking signature inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def wsum(cents, w):
+        return int((cents * w).sum())
+
+    e = _t(spark, sf_dir, "events")
+    prepped = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 7 + 1).cast("long").alias("w"),
+    )
+    return (
+        prepped.groupBy("event_type")
+        .agg(wsum("cents", "w").alias("wsum"))
+        .orderBy("event_type")
+    )
+
+
+def q_grouped_map_applyinpandas(spark, sf_dir):
+    """Grouped-map applyInPandas surface: per-user event sequence numbers
+    (the custom-window shape — each group arrives as one pandas frame)."""
+    import pandas as pd
+
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(spark)
+
+    def add_seq(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["seq"] = range(1, len(pdf) + 1)
+        return pdf[["user_id", "event_id", "seq"]]
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    return (
+        e.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(add_seq, "user_id long, event_id long, seq long")
+        .orderBy("user_id", "seq")
     )
 
 
@@ -673,6 +828,100 @@ def x_streaming_extract(spark, sf_dir):
     )
 
 
+def x_binary_extract(spark, sf_dir):
+    """binaryFile source -> decode -> per-page turns -> extraction kernel
+    (the reference's raw-PDF ingestion loop end-to-end, extractor.py:21-32;
+    rows-only — page text equality vs the scalar oracle is pytest-pinned in
+    tests/test_binary_ingest.py)."""
+    import os
+    import tempfile
+
+    from document_extraction_spark.sources.binary_ingest import extract_binary_files
+
+    src = tempfile.mkdtemp(prefix="dex_bin_src_")
+    docs = {
+        "report.txt": "quarterly numbers look fine\fsecond page: risks\fthird page",
+        "note.txt": "single page with   odd   spacing\n\n\n\nand a paragraph",
+        "fenced.txt": '```json\n{"k": 1}\n```',
+        "junk.bin": "prefix \udcff suffix",  # lands as replacement chars
+    }
+    for name, body in docs.items():
+        with open(os.path.join(src, name), "w", encoding="utf-8", errors="replace") as f:
+            f.write(body)
+    out = extract_binary_files(spark, src)
+    return (
+        out.withColumn("spans", F.to_json("spans"))
+        .drop("ts")  # file mtime: non-deterministic across runs
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def x_stream_windowed_rates(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregation (availableNow drain
+    to a memory sink); scalar projection of the window struct. Late-data
+    semantics are pytest-pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from document_extraction_spark.sources.transcripts import write_transcripts_parquet
+    from document_extraction_spark.streaming.extract_stream import (
+        read_transcript_stream,
+        turn_rate_by_window,
+    )
+
+    src = tempfile.mkdtemp(prefix="dex_winstream_src_")
+    write_transcripts_parquet(src, n_convs=6, seed=47, rows_per_file=40)
+    agg = turn_rate_by_window(read_transcript_stream(spark, src))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("win_rates").select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "role",
+        "n_turns",
+        "chars_in",
+    ).orderBy("win_start", "role")
+
+
+def x_stream_conv_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState with TTL
+    eviction): per-conversation running stats, drained availableNow."""
+    import tempfile
+
+    from document_extraction_spark.sources.transcripts import write_transcripts_parquet
+    from document_extraction_spark.streaming.extract_stream import read_transcript_stream
+    from document_extraction_spark.streaming.stateful import conversation_stats_stream
+
+    src = tempfile.mkdtemp(prefix="dex_convstream_src_")
+    write_transcripts_parquet(src, n_convs=6, seed=53, rows_per_file=40)
+    stats = conversation_stats_stream(read_transcript_stream(spark, src))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("conv_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode may emit one row per key per micro-batch: keep the final
+    # (max n_turns) row per conversation
+    t = spark.table("conv_stats")
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.max("n_turns").alias("n_turns"),
+            F.max("bytes_seen").alias("bytes_seen"),
+            F.max("max_turn_idx").alias("max_turn_idx"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -689,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_token_stats": q_doc_token_stats,
         "q_doc_quality": q_doc_quality,
         "q_doc_lang_guess": q_doc_lang_guess,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_pii_scrub": q_pii_scrub,
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -698,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_extract_plain_docs": q_extract_plain_docs,
+        "q_structured_extract": q_structured_extract,
         "q_cube_orders": q_cube_orders,
         "q_pivot_lineitem": q_pivot_lineitem,
         "q_orders_by_month": q_orders_by_month,
@@ -712,8 +964,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_order_deciles": q_order_deciles,
         "q_conditional_aggs": q_conditional_aggs,
         "q_event_type_map": q_event_type_map,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_sentence_explode": q_sentence_explode,
         "q_salted_skew_join": x_salted_skew_join,
+        "q_grouping_sets": q_grouping_sets,
+        "q_grouped_agg_udaf": q_grouped_agg_udaf,
+        "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,
         "x_udtf_sentences": x_udtf_sentences,
         "x_pandas_udf_classify": x_pandas_udf_classify,
         "x_binary_source": x_binary_source,
@@ -728,6 +985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
         ).orderBy("media_id", "frame_idx"),
         "x_streaming_extract": x_streaming_extract,
+        "x_binary_extract": x_binary_extract,
+        "x_stream_windowed_rates": x_stream_windowed_rates,
+        "x_stream_conv_stats": x_stream_conv_stats,
     }
 
 
@@ -904,6 +1164,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, {TS.sql_lang_guess('text')} AS guess, count(*) AS n_docs
             FROM documents GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "q_tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS term
+              FROM documents WHERE doc_id < 100),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents WHERE doc_id < 100),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf::DOUBLE * (ln((n.n_docs + 1) / (dfreq.df::DOUBLE + 1)) + 1), 4) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, score, rank FROM ranked
+            WHERE rank <= 5 ORDER BY doc_id, rank
+        """,
+        "q_pii_scrub": f"""
+            SELECT doc_id,
+                   {TS.SQL_SCRUB_PII.format(
+                       c="('contact user' || doc_id::VARCHAR || '@example.com or "
+                         "https://ex.org/p/' || doc_id::VARCHAR || ' call +1-555-' "
+                         "|| lpad(doc_id::VARCHAR, 7, '0') || ' :: ' || substr(text, 1, 60))"
+                   )} AS scrubbed
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
         "q_exact_dedup": f"""
             SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY fp
@@ -1005,6 +1293,13 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({_SQL_COS}, 4)::DOUBLE >= 0.3
             ORDER BY id_a, id_b
+        """,
+        "q_structured_extract": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k')::BIGINT AS k,
+                   json_extract_string(props, '$.label') AS label,
+                   false AS parse_failed
+            FROM events WHERE event_id < 500 ORDER BY event_id
         """,
         "q_cube_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
@@ -1109,6 +1404,44 @@ def oracle_sql() -> dict[str, str]:
                    to_json([p[2]::BIGINT for p in list_sort(list([event_type, n::VARCHAR]))])::VARCHAR AS counts,
                    len(list(event_type))::INT AS n_types
             FROM counts GROUP BY user_id HAVING user_id <= 40 ORDER BY user_id
+        """,
+        "q_grouping_sets": """
+            SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((source), (lang), ())
+            ORDER BY source, lang
+        """,
+        "q_grouped_agg_udaf": """
+            SELECT event_type,
+                   sum(floor(value * 100)::BIGINT * (user_id % 7 + 1))::BIGINT AS wsum
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_grouped_map_applyinpandas": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS seq
+            FROM events WHERE user_id <= 30
+            ORDER BY user_id, seq
+        """,
+        "q_asof_join": """
+            WITH p AS (
+              SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+            v AS (
+              SELECT user_id, ts, max(event_id) AS view_id
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT p.user_id, p.event_id, v.view_id AS last_view_id
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.user_id, p.event_id
+        """,
+        "q_range_join": """
+            WITH iv AS (
+              SELECT user_id, min(ts) AS w_start,
+                     min(ts) + INTERVAL 2 HOUR AS w_end
+              FROM events GROUP BY 1)
+            SELECT e.user_id, count(*) AS n_in_window
+            FROM events e JOIN iv ON e.user_id = iv.user_id
+                 AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+            GROUP BY 1 ORDER BY 1
         """,
         "q_sentence_explode": """
             WITH parts AS (

@@ -64,7 +64,11 @@ def main() -> int:
         "q_doc_token_stats",
         "q_exact_dedup",
         "q_minhash_lsh_pairs",
+        "q_lsh_jaccard_verified",   # scale-safe dedup middle (round 2)
+        "q_near_dup_clusters",      # dedup pipeline tail (round 2)
         "q_ann_topk",
+        "x_ivf_ann_topk",           # ANN scale path (round 2)
+        "q_structured_extract",     # schema-by-example mode (round 2)
         "q_extract_plain_docs",
     ]
 
@@ -90,7 +94,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "headline-suite-total (extraction + 8 operator queries)",
+                "metric": f"headline-suite-total (extraction + {len(headliners)} operator queries)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -1,0 +1,118 @@
+"""Per-query bench-SUITE scaling measurement (round 2+).
+
+bench/scaling.py measures the flagship extraction job's N -> 4N efficiency;
+this harness runs the ENTIRE headline suite (bench.py) at two pinned CPU
+counts so round-over-round regressions are visible per query and the
+two-cluster-size scaling evidence covers every headliner, not just
+extraction.
+
+Protocol (same as scaling.py, see BENCH/BASELINE.md): the whole process
+tree is pinned with ``taskset -c 0-(N-1)`` — unpinned local[N] borrows idle
+cores and inflates the small-N baseline. Primary pair 2 -> 8 CPUs (the
+regime where this shared VM scales linearly; 8 -> 32 hits the box's own
+ceiling, demonstrated by the pure-Python control in BASELINE.md).
+
+Writes BENCH/SUITE_SCALING.json and rewrites the per-query section of
+BENCH/BASELINE.md.
+
+Usage: python bench/suite_scaling.py [--pair 2 8] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_suite(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")]
+    print(f"[suite_scaling] {' '.join(cmd)}", file=sys.stderr)
+    out = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=3600
+    )
+    if out.returncode != 0:
+        print(out.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(f"bench.py failed at {cpus} CPUs")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pair", nargs=2, type=int, default=[2, 8], metavar=("N", "MN"))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    n, mn = args.pair
+    factor = mn / n
+
+    lo = run_suite(n, args.sf_dir)
+    hi = run_suite(mn, args.sf_dir)
+
+    per_query = {}
+    for q, t_lo in lo["queries"].items():
+        t_hi = hi["queries"].get(q)
+        if t_hi:
+            per_query[q] = {
+                f"sec@{n}": t_lo,
+                f"sec@{mn}": t_hi,
+                "efficiency": round((t_lo / t_hi) / factor, 3),
+            }
+    total_eff = round((lo["value"] / hi["value"]) / factor, 3)
+    result = {
+        "measured": dt.datetime.now(dt.timezone.utc).isoformat(timespec="seconds"),
+        "pair": [n, mn],
+        "sf_dir": args.sf_dir,
+        "suite_total": {f"sec@{n}": lo["value"], f"sec@{mn}": hi["value"],
+                        "efficiency": total_eff},
+        "queries": per_query,
+        "extract_turns_per_sec": {str(n): lo["extract_turns_per_sec"],
+                                  str(mn): hi["extract_turns_per_sec"]},
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SUITE_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result["suite_total"]))
+
+    # render the per-query markdown section
+    lines = [
+        "",
+        f"## Bench-suite per-query scaling ({n} -> {mn} CPUs, pinned)",
+        "",
+        f"Measured {result['measured']} at {args.sf_dir} via "
+        f"`python bench/suite_scaling.py --pair {n} {mn}` (best-of-2 per query "
+        "inside bench.py; whole process tree taskset-pinned).",
+        "",
+        f"| Query | sec@{n} | sec@{mn} | efficiency |",
+        "|---|---|---|---|",
+    ]
+    for q, row in per_query.items():
+        lines.append(
+            f"| {q} | {row[f'sec@{n}']} | {row[f'sec@{mn}']} | {row['efficiency']} |"
+        )
+    lines += [
+        f"| **suite total** | **{lo['value']}** | **{hi['value']}** | **{total_eff}** |",
+        "",
+        "Query-level notes: sub-second queries at this SF are dominated by "
+        "fixed job-launch overhead (~0.2-0.4 s/job), which deflates their "
+        "apparent efficiency; the scan/shuffle/kernel-bound queries "
+        "(extraction, dedup middle/tail, token stats) are the scaling signal.",
+    ]
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    md = open(md_path).read() if os.path.exists(md_path) else ""
+    marker = "## Bench-suite per-query scaling"
+    if marker in md:
+        md = md[: md.index(marker)].rstrip() + "\n"
+    md = md.rstrip() + "\n" + "\n".join(lines) + "\n"
+    with open(md_path, "w") as f:
+        f.write(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

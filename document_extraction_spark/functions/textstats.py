@@ -68,6 +68,31 @@ def lang_guess(col: Column) -> Column:
     return F.when(best > 0, out).otherwise(F.lit("und"))
 
 
+# PII scrubbing: conservative patterns in the Java/RE2 common regex subset.
+# Replacement order matters — URLs first (they can embed @ and digits), then
+# emails, then long digit runs (phone-ish).
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE = r"\+?[0-9][0-9\-]{6,}[0-9]"
+
+SQL_SCRUB_PII = (
+    "regexp_replace(regexp_replace(regexp_replace({c}, "
+    "'https?://[^\\s]+', '<URL>', 'g'), "
+    "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), "
+    "'\\+?[0-9][0-9\\-]{{6,}}[0-9]', '<PHONE>', 'g')"
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask URLs, emails, and long digit runs (phone-ish) with placeholder
+    tokens — the standard pre-training privacy pass, as pure codegen'd
+    regexp_replace chain. Conservative by design: patterns restricted to
+    the Java/RE2 common subset so the DuckDB twin (SQL_SCRUB_PII) is exact."""
+    out = F.regexp_replace(col, PII_URL, "<URL>")
+    out = F.regexp_replace(out, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
 def quality_score(col: Column) -> Column:
     """Deterministic [0,1] quality heuristic: length saturation x punctuation
     sanity x mean-token-length sanity. Rounded to 4 decimals so the oracle
