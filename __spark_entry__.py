@@ -516,6 +516,60 @@ def q_order_deciles(spark, sf_dir):
     )
 
 
+def q_window_range_frame(spark, sf_dir):
+    """RANGE window frame (value-based, not row-based): per customer, the
+    decimal-exact sum of order prices in the trailing 90 days. Spark needs a
+    numeric ordering column for rangeBetween — days since epoch."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-90, 0)
+    )
+    return (
+        o.filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(_dec("o_totalprice", 2)).over(w), 2)
+            .cast("double")
+            .alias("trailing_90d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q_unpivot(spark, sf_dir):
+    """Unpivot / stack: wide part columns -> (metric, val) long form."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey") <= 100)
+        .selectExpr(
+            "p_partkey",
+            "stack(2, 'retailprice', cast(p_retailprice AS double), "
+            "'size', cast(p_size AS double)) AS (metric, val)",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+def x_approx_aggs(spark, sf_dir):
+    """Sketch aggregates (HLL distinct count, t-digest-ish quantiles): rows-
+    only — sketches are engine-specific by construction; the error bounds vs
+    exact answers are pytest-pinned in tests/test_approx_aggs.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_median"),
+            F.percentile_approx("value", 0.99).alias("approx_p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_conditional_aggs(spark, sf_dir):
     """Filtered/conditional aggregation: per-type error and high-value rates."""
     e = _t(spark, sf_dir, "events")
@@ -922,6 +976,31 @@ def x_stream_conv_stats(spark, sf_dir):
     )
 
 
+def x_synth_source(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 DataSource API): the transcripts
+    synthesizer as an executor-side Arrow-batched source — scan parallelism
+    from the partition inventory, zero disk I/O. Determinism + contiguity
+    pytest-pinned in tests/test_synthsource.py."""
+    from document_extraction_spark.sources.synthsource import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("transcripts_synth")
+        .option("n_partitions", 4)
+        .option("convs_per_partition", 8)
+        .option("seed", 7)
+        .load()
+    )
+    return (
+        df.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text").cast("long")).alias("chars"),
+        )
+        .orderBy("role")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -962,6 +1041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_revenue": q_running_revenue,
         "q_argmax_order_per_cust": q_argmax_order_per_cust,
         "q_order_deciles": q_order_deciles,
+        "q_window_range_frame": q_window_range_frame,
+        "q_unpivot": q_unpivot,
+        "x_approx_aggs": x_approx_aggs,
         "q_conditional_aggs": q_conditional_aggs,
         "q_event_type_map": q_event_type_map,
         "q_asof_join": q_asof_join,
@@ -988,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_binary_extract": x_binary_extract,
         "x_stream_windowed_rates": x_stream_windowed_rates,
         "x_stream_conv_stats": x_stream_conv_stats,
+        "x_synth_source": x_synth_source,
     }
 
 
@@ -1388,6 +1471,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, decile, count(*) AS n_orders,
                    round(min(o_totalprice), 2) AS floor_price
             FROM d GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_window_range_frame": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice::DECIMAL(18,2)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY (o_orderdate::DATE - DATE '1970-01-01')
+                         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2)::DOUBLE
+                     AS trailing_90d
+            FROM orders WHERE o_custkey <= 100
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "q_unpivot": """
+            SELECT p_partkey, 'retailprice' AS metric, p_retailprice::DOUBLE AS val
+            FROM part WHERE p_partkey <= 100
+            UNION ALL
+            SELECT p_partkey, 'size', p_size::DOUBLE
+            FROM part WHERE p_partkey <= 100
+            ORDER BY p_partkey, metric
         """,
         "q_conditional_aggs": """
             SELECT event_type, count(*) AS n,

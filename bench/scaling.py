@@ -151,7 +151,15 @@ processes (0.71), and 32-thread runs intermittently show 70-86% kernel time
 N -> 4N executor cluster each executor keeps its own cores, kernel, and page
 cache, which is what the pinned primary pair emulates.
 """
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+    # preserve the per-query suite section maintained by suite_scaling.py
+    md_path = os.path.join(bench_dir, "BASELINE.md")
+    suite_tail = ""
+    if os.path.exists(md_path):
+        prev = open(md_path).read()
+        marker = "## Bench-suite per-query scaling"
+        if marker in prev:
+            suite_tail = "\n" + prev[prev.index(marker):]
+    with open(md_path, "w") as f:
         f.write(f"""# BENCH/BASELINE — N -> 4N scaling efficiency
 
 Measured {dt.datetime.now(dt.timezone.utc).isoformat(timespec='seconds')} via
@@ -174,7 +182,7 @@ Warm-up stage excluded; best of {args.runs} runs (shared-VM noise).
 (target >= 0.8: {"PASS" if primary['efficiency'] >= 0.8 else "FAIL"})
 {sat_rows}
 Reproduce: `python bench/scaling.py --n-convs {args.n_convs}`
-""")
+{suite_tail}""")
     print(f"[done] BENCH/BASELINE.md; primary eff={primary['efficiency']:.3f}", file=sys.stderr)
     return 0
 

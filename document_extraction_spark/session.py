@@ -80,6 +80,12 @@ def _ship_package(spark: SparkSession) -> None:
     if getattr(spark, "_dex_pkg_shipped", False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # the package is ALREADY running from a zip (spark-submit --py-files):
+        # executors get the same zip through the submit mechanism, and there
+        # is no directory to re-stage — copytree on a zip path would crash
+        spark._dex_pkg_shipped = True
+        return
     tmp = tempfile.mkdtemp(prefix="dex_pyfiles_")
     zip_base = os.path.join(tmp, "document_extraction_spark")
     # zip root must contain the package dir itself

@@ -1,0 +1,91 @@
+"""Custom Python Data Source (Spark 4 DataSource API): the deterministic
+transcripts synthesizer as a first-class ``spark.read.format(...)`` source.
+
+Why this exists: at bench/test time the engine needs a 10^12-turn-shaped
+input WITHOUT materializing it to disk first. A custom data source generates
+each partition ON the executors (per-partition RNG, byte-deterministic in
+(seed, partition, convs_per_partition)), so "read 1M synthetic turns" is a
+parallel scan with zero I/O, and the same mechanism documents how a real
+proprietary source (e.g. an internal transcript service) would plug into the
+engine: implement ``partitions()`` for the split inventory and ``read()``
+yielding Arrow batches.
+
+Usage::
+
+    register_synth_source(spark)
+    df = (spark.read.format("transcripts_synth")
+          .option("n_partitions", 32)
+          .option("convs_per_partition", 100)
+          .option("seed", 7)
+          .load())
+
+Rows stream back as pyarrow RecordBatches (the vectorized path of the
+DataSource API — no per-row Python marshalling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+class TranscriptsSynthDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "transcripts_synth"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> "TranscriptsSynthReader":
+        return TranscriptsSynthReader(self.options)
+
+
+class TranscriptsSynthReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.convs_per_partition = int(options.get("convs_per_partition", 50))
+        self.seed = int(options.get("seed", 7))
+        if self.n_partitions < 1 or self.convs_per_partition < 1:
+            raise ValueError("n_partitions and convs_per_partition must be >= 1")
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.n_partitions)]
+
+    def read(self, partition: InputPartition):
+        # executor-side: generate this partition's conversations and stream
+        # them back as Arrow batches
+        import pyarrow as pa
+
+        from document_extraction_spark.sources.transcripts import (
+            generate_partition_pdf,
+        )
+
+        pdf = generate_partition_pdf(
+            partition.value, self.convs_per_partition, self.seed
+        )
+        schema = pa.schema(
+            [
+                pa.field("conv_id", pa.string()),
+                pa.field("turn_idx", pa.int32()),
+                pa.field("role", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field("tool", pa.string()),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        )
+        table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        yield from table.to_batches(max_chunksize=8192)
+
+
+def register_synth_source(spark) -> None:
+    """Register the source (idempotent) and make sure executors can import
+    the package the reader closes over."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(spark)
+    spark.dataSource.register(TranscriptsSynthDataSource)

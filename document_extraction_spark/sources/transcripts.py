@@ -199,6 +199,60 @@ def generate_transcripts_pdf(n_convs: int, seed: int = 7) -> pd.DataFrame:
     return pdf
 
 
+def generate_partition_pdf(part_idx: int, convs_per_part: int, seed: int = 7) -> pd.DataFrame:
+    """Generate one PARTITION of the transcripts table, independently of all
+    other partitions (per-partition RNG seeded by (seed, part_idx)) — the
+    executor-side unit of the custom Python data source
+    (sources/synthsource.py). Same (seed, part_idx, convs_per_part) =>
+    byte-identical partition, regardless of cluster parallelism."""
+    rng = np.random.default_rng(seed * 100_003 + part_idx)
+    pools = _payload_pools(rng)
+    n_convs = convs_per_part
+    is_long = rng.random(n_convs) < 0.03
+    sizes = np.where(
+        is_long, rng.integers(50, 400, n_convs), rng.integers(2, 21, n_convs)
+    )
+    total = int(sizes.sum())
+    conv_ids = np.array(
+        [f"conv-{seed:04d}-p{part_idx:05d}-{c:06d}" for c in range(n_convs)],
+        dtype=object,
+    ).repeat(sizes)
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    turn_idx = np.arange(total, dtype=np.int64) - starts.repeat(sizes)
+    alt = np.where(turn_idx % 2 == 0, "user", "assistant")
+    rand_roles = np.array(ROLES, dtype=object)[rng.integers(0, len(ROLES), total)]
+    roles = np.where(rng.random(total) < 0.8, alt, rand_roles).astype(object)
+    r = rng.random(total)
+    pool_idx = rng.integers(0, POOL_SIZE, total)
+    text = np.empty(total, dtype=object)
+    m_html = r < 0.40
+    m_pdf = (r >= 0.40) & (r < 0.70)
+    m_plain = r >= 0.70
+    text[m_html] = pools["html"][pool_idx[m_html]]
+    text[m_pdf] = pools["pdf"][pool_idx[m_pdf]]
+    text[m_plain] = pools["plain"][pool_idx[m_plain]]
+    tools_arr = np.array(TOOLS, dtype=object)[rng.integers(0, len(TOOLS), total)]
+    tool = np.where(roles == "tool", tools_arr, None).astype(object)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": turn_idx.astype("int32"),
+            "role": roles,
+            "text": text,
+            "tool": tool,
+        }
+    )
+    conv_codes = pdf["conv_id"].astype("category").cat.codes.astype("int64")
+    pdf["ts"] = pd.Timestamp(_EPOCH) + pd.to_timedelta(
+        (part_idx * convs_per_part + conv_codes) * 3600
+        + pdf["turn_idx"].astype("int64"),
+        unit="s",
+    )
+    pdf["ts"] = pdf["ts"].dt.tz_convert(None)
+    return pdf
+
+
 def write_transcripts_parquet(path: str, n_convs: int, seed: int = 7,
                               rows_per_file: int = 100_000) -> int:
     """Write the synthetic table as a multi-file parquet directory (so Spark
