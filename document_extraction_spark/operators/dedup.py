@@ -288,14 +288,26 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     one join + groupBy-min, converging in O(graph diameter) rounds — near-dup
     graphs are shallow, so a handful of rounds at any scale). The driver loop
     only checks a one-row convergence aggregate per round."""
+    # materialize the edge list ONCE: every propagation round joins against
+    # it, and without the checkpoint each round re-runs the whole upstream
+    # pair pipeline (LSH + Jaccard verification) from the scan
     edges = (
         pairs.selectExpr("doc_a AS u", "doc_b AS v")
         .union(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # convergence via label-sum monotonicity: min-propagation only ever
+    # DECREASES labels, so the (exact, decimal) label sum is strictly
+    # decreasing until the fixpoint — one cheap aggregate over the freshly
+    # checkpointed frame per round instead of a labels-join-new_labels
+    # comparison job (decimal(38,0): no int64 overflow at 10^12 nodes)
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).collect()[0]["s"]
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
@@ -312,21 +324,17 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("label"),
             )
         )
-        # checkpoint FIRST (cut lineage), then count changes against the
-        # checkpointed frame — counting the un-checkpointed plan would
-        # evaluate the round's join twice
+        # checkpoint FIRST (cut lineage), then aggregate the checkpointed
+        # frame — aggregating the un-checkpointed plan would evaluate the
+        # round's join twice
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            labels.alias("a")
-            .join(new_labels.alias("b"), "node")
-            .filter(F.col("a.label") != F.col("b.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(label_sum).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
-    else:
+        prev_sum = cur_sum
+    if not converged:
         # min-label propagation moves one hop per round: a chain-shaped
         # component with radius > max_iters would silently get wrong ids
         raise RuntimeError(
