@@ -733,6 +733,27 @@ def q_grouped_map_applyinpandas(spark, sf_dir):
     )
 
 
+def q_map_in_arrow(spark, sf_dir):
+    """mapInArrow surface (the third Python-execution API next to
+    mapInPandas and pandas_udf): per-batch pyarrow.compute kernel, no pandas
+    conversion at all — the cheapest JVM<->Python hop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+                ],
+                names=["doc_id", "n_chars_arrow"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(kernel, "doc_id long, n_chars_arrow long").orderBy("doc_id")
+
+
 def x_udtf_sentences(spark, sf_dir):
     """Python UDTF surface (arrow-optimized table function): same sentence
     split as q_sentence_explode but via a user-defined table function —
@@ -1053,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_grouped_agg_udaf": q_grouped_agg_udaf,
         "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,
+        "q_map_in_arrow": q_map_in_arrow,
         "x_udtf_sentences": x_udtf_sentences,
         "x_pandas_udf_classify": x_pandas_udf_classify,
         "x_binary_source": x_binary_source,
@@ -1516,6 +1538,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    sum(floor(value * 100)::BIGINT * (user_id % 7 + 1))::BIGINT AS wsum
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_map_in_arrow": """
+            SELECT doc_id, length(text)::BIGINT AS n_chars_arrow
+            FROM documents ORDER BY doc_id
         """,
         "q_grouped_map_applyinpandas": """
             SELECT user_id, event_id,

@@ -72,9 +72,10 @@ def main() -> int:
         "q_extract_plain_docs",
     ]
 
-    def best_of(fn, runs: int = 2) -> float:
+    def best_of(fn, runs: int = 3) -> float:
         """Shared-VM noise mitigation: identical runs vary up to 4x when a
-        neighbor storms; report the best (steady-state) of ``runs``."""
+        neighbor storms (and first runs pay codegen warmup); report the best
+        (steady-state) of ``runs``."""
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()

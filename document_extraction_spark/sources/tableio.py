@@ -74,6 +74,35 @@ class TableIO:
                 w = w.partitionBy(*partition_cols)
             w.parquet(self._ident(name))
 
+    def compact(self, name: str, target_files: int = 8) -> int:
+        """Small-file compaction: rewrite the table into ``target_files``
+        files. The operational counterpart of streaming/bucketed appends at
+        100 TB — thousands of tiny files per partition degrade scan planning
+        and shuffle fetch; periodic compaction keeps file count ~ scan
+        parallelism. For UNPARTITIONED tables (partitioned tables compact
+        per partition through overwrite_partitions). Parquet backend: staged
+        rewrite (write to .compact_tmp, swap) so a crash never leaves the
+        table truncated. Iceberg backend
+        would call rewrite_data_files. Returns the new file count."""
+        import os
+        import shutil
+
+        if self.catalog:
+            raise NotImplementedError(
+                "Iceberg compaction goes through rewrite_data_files"
+            )
+        path = self._ident(name)
+        tmp = path + ".compact_tmp"
+        df = self.spark.read.parquet(path)
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        # atomic-enough swap: the window with neither dir present is a
+        # single rename pair on one filesystem
+        bak = path + ".compact_old"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+        return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
     def overwrite_partitions(self, df: DataFrame, name: str, partition_cols: list[str]) -> None:
         if self.catalog:
             df.writeTo(self._ident(name)).overwritePartitions()

@@ -85,6 +85,20 @@ def test_tableio_overwrite_safe_under_static_session(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def test_tableio_compact(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    for _ in range(6):  # six appends -> many small files
+        io.append(spark.range(100).select(F.col("id")), "tc")
+    import os
+    before = len([f for f in os.listdir(f"{tmp_path}/tc") if f.endswith(".parquet")])
+    assert before > 4
+    n_files = io.compact("tc", target_files=2)
+    assert n_files <= 2
+    assert io.read("tc").count() == 600
+    assert not os.path.exists(f"{tmp_path}/tc.compact_tmp")
+    assert not os.path.exists(f"{tmp_path}/tc.compact_old")
+
+
 def test_tableio_iceberg_guard(spark, tmp_path):
     if iceberg_available(spark):
         pytest.skip("iceberg on classpath here")
