@@ -302,6 +302,17 @@ def q_embedding_near_dup(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
 
 
+def x_srp_near_dup(spark, sf_dir):
+    """Embedding near-dup at scale: banded SRP buckets derived from the
+    vectors themselves (no label/cluster column) -> bucket self-join ->
+    exact cosine verify. Precision 1.0 by construction; recall pytest-pinned
+    vs the exact all-pairs answer (tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold 0.5: the synthetic corpus is near-orthogonal (cosine >= 0.5
+    # pairs are rare), so anything stricter returns an empty frame
+    return SIM.srp_near_dup_pairs(emb, threshold=0.5).orderBy("id_a", "id_b")
+
+
 def q_extract_plain_docs(spark, sf_dir):
     """Extraction pipeline over the (plain-text) documents corpus, projected
     to the SQL-checkable normalization semantics (fence/NFC edge semantics
@@ -1048,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_ann_topk": q_ann_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "x_srp_near_dup": x_srp_near_dup,
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_structured_extract": q_structured_extract,
         "q_cube_orders": q_cube_orders,

@@ -42,15 +42,25 @@ MAX_LINK_DENSITY = 0.33
 MIN_BLOCK_CHARS = 15
 
 
+_BLOCKISH = BLOCK_TAGS | BOILERPLATE_TAGS
+
+
 class _BlockSink:
     """Shared block-building state machine: both the fast regex tokenizer and
     the stdlib HTMLParser drive these three events, so scoring semantics are
-    identical by construction."""
+    identical by construction.
+
+    Hot-path bookkeeping is incremental: boilerplate ancestry and anchor
+    nesting are maintained as depth counters at push/pop time instead of
+    rescanning the open-tag stack per block/text node (the stack scan was
+    ~25% of kernel time in profiles)."""
 
     def __init__(self) -> None:
         self.stack: list[str] = []
         self.blocks: list[dict] = []
         self._cur: dict | None = None
+        self._boiler_depth = 0
+        self._anchor_depth = 0
 
     def _flush(self) -> None:
         if self._cur is not None:
@@ -58,41 +68,52 @@ class _BlockSink:
             self._cur = None
 
     def _open_block(self, tag: str) -> None:
-        self._flush()
+        if self._cur is not None:
+            self.blocks.append(self._cur)
         self._cur = {
             "tag": tag,
             "parts": [],
             "anchor_chars": 0,
-            "boiler": any(t in BOILERPLATE_TAGS for t in self.stack),
+            "boiler": self._boiler_depth > 0,
         }
 
     def start(self, tag: str) -> None:
         if tag in VOID_TAGS:
-            if tag in ("br", "hr") and self._cur is not None:
+            if self._cur is not None and (tag == "br" or tag == "hr"):
                 self._cur["parts"].append("\n")
             return
         self.stack.append(tag)
-        if tag in BLOCK_TAGS or tag in BOILERPLATE_TAGS:
+        if tag in BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+        elif tag == "a":
+            self._anchor_depth += 1
+        if tag in _BLOCKISH:
             self._open_block(tag)
 
     def end(self, tag: str) -> None:
         # pop to the matching open tag (tolerates misnesting deterministically)
-        if tag in self.stack:
-            while self.stack and self.stack[-1] != tag:
-                self.stack.pop()
-            if self.stack:
-                self.stack.pop()
-        if tag in BLOCK_TAGS or tag in BOILERPLATE_TAGS:
+        stack = self.stack
+        if tag in stack:
+            while stack:
+                top = stack.pop()
+                if top in BOILERPLATE_TAGS:
+                    self._boiler_depth -= 1
+                elif top == "a":
+                    self._anchor_depth -= 1
+                if top == tag:
+                    break
+        if tag in _BLOCKISH:
             self._flush()
 
     def data(self, data: str) -> None:
-        if not data or not data.strip():
+        stripped = data.strip()
+        if not stripped:
             return
         if self._cur is None:
             self._open_block("_text")
         self._cur["parts"].append(data)
-        if "a" in self.stack:
-            self._cur["anchor_chars"] += len(data.strip())
+        if self._anchor_depth > 0:
+            self._cur["anchor_chars"] += len(stripped)
 
 
 class _BlockParser(HTMLParser):
@@ -151,22 +172,27 @@ _RE_TOKEN = _re.compile(
 
 def _tokenize_fast(payload: str, sink: _BlockSink) -> None:
     payload = _RE_RAWTEXT_OPEN.sub("", _RE_COMMENT.sub("", _RE_RAWTEXT.sub("", payload)))
+    # bind hot callables once; fetch all four groups in one C call per token
+    # (profiles showed m.group() dominating the loop)
+    sink_data = sink.data
+    sink_start = sink.start
+    sink_end = sink.end
     for m in _RE_TOKEN.finditer(payload):
-        text = m.group("text")
+        close, name, attrs, text = m.group(1, 2, 3, 4)
         if text is not None:
             if "&" in text:
                 text = _unescape(text)
-            sink.data(text)
+            sink_data(text)
             continue
-        name = m.group("name").lower()
+        name = name.lower()
         if name in _RAWTEXT_NAMES:
             continue  # stray </script> etc. — invisible, like the stdlib path
-        if m.group("close"):
-            sink.end(name)
+        if close:
+            sink_end(name)
         else:
-            sink.start(name)
-            if m.group("attrs").rstrip().endswith("/") and name not in VOID_TAGS:
-                sink.end(name)  # self-closing <tag/>
+            sink_start(name)
+            if name not in VOID_TAGS and attrs.rstrip().endswith("/"):
+                sink_end(name)  # self-closing <tag/>
 
 
 def _score_blocks(blocks: list[dict]) -> tuple[list[str], int, int]:

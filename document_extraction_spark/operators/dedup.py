@@ -123,8 +123,20 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return hashed.select("doc_id", *cols)
 
 
-def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
-    """Band the signature, bucket-join, emit distinct candidate pairs (a<b)."""
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate pairs (a<b).
+
+    ``max_bucket_size`` (production knob, default off for oracle parity):
+    drop buckets holding more than the cap before the self-join — a single
+    boilerplate-heavy bucket of B docs costs B^2 pairs, and a cap turns the
+    worst case from quadratic-in-hottest-bucket to cap^2 * n_buckets.
+    Dropped buckets lose recall only for pairs whose OTHER bands also
+    overflow (AQE skew-join still splits merely-warm buckets)."""
     rows_per_band = k // bands
     band_cols = [
         F.md5(
@@ -139,6 +151,14 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BAN
             F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
         ])).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        keep = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        buckets = buckets.join(keep, "bucket", "left_semi")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

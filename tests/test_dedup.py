@@ -110,3 +110,19 @@ def test_simhash_properties(spark, docs):
     ham_far = bin(sigs[0] ^ sigs[4]).count("1")
     assert ham_near < ham_far
     assert all(0 <= s < 2 ** DD.SIMHASH_BITS for s in sigs.values())
+
+
+def test_lsh_max_bucket_size_drops_hot_bucket(spark):
+    """All-identical docs form one hot bucket of n docs (n^2 pairs); the cap
+    removes it entirely, while distinct docs' buckets survive."""
+    rows = [(i, "same exact text repeated across every document") for i in range(10)]
+    rows += [(100, "one unusual document that stands alone quietly"),
+             (101, "one unusual document that stands alone quietly today")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = DD.minhash_signatures(docs)
+    uncapped = DD.lsh_candidate_pairs(sig)
+    assert uncapped.count() >= 45  # the 10-dup clique alone is C(10,2)
+    capped = DD.lsh_candidate_pairs(sig, max_bucket_size=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert all(a >= 100 for a, _ in pairs)  # clique gone, odd pair intact
+    assert (100, 101) in pairs

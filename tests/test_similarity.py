@@ -85,3 +85,32 @@ def test_embedding_near_dup_finds_planted_pair_same_block(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in SIM.embedding_near_dup_pairs(df, 0.99).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.999
+
+
+def test_srp_near_dup_precision_and_recall(spark, emb):
+    """SRP-banded near-dup pairs: every emitted pair must match the exact
+    all-pairs answer at the threshold (precision 1.0 — pairs are exactly
+    verified), and the planted near-duplicate pair must be recalled."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in SIM.embedding_near_dup_pairs(
+            emb.withColumn("label", F.lit(0)), threshold=0.9
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in SIM.srp_near_dup_pairs(
+            emb, threshold=0.9, n_planes=8, bands=4, dim=16
+        ).collect()
+    }
+    assert set(got) <= set(exact)          # precision 1.0
+    assert (0, 1) in got                    # planted pair recalled
+    for k, v in got.items():
+        assert v == exact[k]                # identical verified cosines
+
+
+def test_srp_near_dup_rejects_bad_bands(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must divide"):
+        SIM.srp_near_dup_pairs(emb, n_planes=8, bands=3, dim=16)
