@@ -623,6 +623,28 @@ def q_event_type_map(spark, sf_dir):
     )
 
 
+def q_event_sequences(spark, sf_dir):
+    """Ordered aggregation (the conversation-reassembly shape: turns ->
+    one document per conv under stable turn ordering): each user's event-type
+    sequence in (ts, event_id) order. Spark has no ORDER BY inside agg —
+    sort structs first, then transform+concat (all JVM-side)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    seq = F.concat_ws(
+        ">",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("type_seq"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (union + last-ignorenulls window — no join node, no
     per-key quadratic pairing): each purchase matched to the user's most
@@ -1008,6 +1030,42 @@ def x_stream_conv_stats(spark, sf_dir):
     )
 
 
+def x_stream_dedup(spark, sf_dir):
+    """Streaming dedup within watermark (dropDuplicatesWithinWatermark,
+    bounded state): the same source file delivered twice collapses to one
+    row per (conv_id, turn_idx)."""
+    import os
+    import shutil
+    import tempfile
+
+    from document_extraction_spark.sources.transcripts import write_transcripts_parquet
+    from document_extraction_spark.streaming.extract_stream import (
+        dedup_stream,
+        read_transcript_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="dex_dedup_base_")
+    src = tempfile.mkdtemp(prefix="dex_dedup_src_")
+    write_transcripts_parquet(base, n_convs=4, seed=61, rows_per_file=40)
+    first = sorted(os.listdir(base))[0]
+    shutil.copy(f"{base}/{first}", f"{src}/part-a.parquet")
+    shutil.copy(f"{base}/{first}", f"{src}/part-b.parquet")  # source retry
+    q = (
+        dedup_stream(read_transcript_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("x_stream_dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("x_stream_dedup_t")
+        .select("conv_id", "turn_idx", "role", F.length("text").alias("n_chars"))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
 def x_synth_source(spark, sf_dir):
     """Custom Python DataSource (Spark 4 DataSource API): the transcripts
     synthesizer as an executor-side Arrow-batched source — scan parallelism
@@ -1079,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_aggs": x_approx_aggs,
         "q_conditional_aggs": q_conditional_aggs,
         "q_event_type_map": q_event_type_map,
+        "q_event_sequences": q_event_sequences,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_sentence_explode": q_sentence_explode,
@@ -1104,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_binary_extract": x_binary_extract,
         "x_stream_windowed_rates": x_stream_windowed_rates,
         "x_stream_conv_stats": x_stream_conv_stats,
+        "x_stream_dedup": x_stream_dedup,
         "x_synth_source": x_synth_source,
     }
 
@@ -1560,6 +1620,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS seq
             FROM events WHERE user_id <= 30
             ORDER BY user_id, seq
+        """,
+        "q_event_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS type_seq,
+                   count(*) AS n_events
+            FROM events WHERE user_id <= 40
+            GROUP BY user_id ORDER BY user_id
         """,
         "q_asof_join": """
             WITH p AS (

@@ -66,6 +66,19 @@ def run_extract_stream(
     return writer.start()
 
 
+def dedup_stream(sdf: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: drop re-deliveries of the same
+    (conv_id, turn_idx) within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    event-time watermark passes, so the state store stays bounded at
+    10^12-turn scale (a plain dropDuplicates would grow state forever).
+    The upstream-retry / at-least-once-source companion to the file sink's
+    exactly-once output semantics."""
+    return sdf.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
 def turn_rate_by_window(sdf: DataFrame, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window turn metrics by role — late turns beyond

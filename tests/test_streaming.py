@@ -107,3 +107,37 @@ def test_stateful_conversation_stats(spark, stream_src, tmp_path):
     for conv_id, row in exp.iterrows():
         assert got[conv_id]["n_turns"] == row["n"], conv_id
         assert got[conv_id]["max_turn_idx"] == row["mx"], conv_id
+
+
+def test_streaming_dedup_within_watermark(spark, stream_src, tmp_path):
+    """Duplicate (conv_id, turn_idx) deliveries inside the watermark horizon
+    collapse to one row — the at-least-once-source companion to the sink's
+    exactly-once semantics."""
+    import shutil
+    import os
+
+    src, _ = stream_src
+    dup_src = str(tmp_path / "dup_src")
+    os.makedirs(dup_src)
+    # the same file delivered twice under different names = a source retry
+    first = sorted(os.listdir(src))[0]
+    shutil.copy(f"{src}/{first}", f"{dup_src}/part-a.parquet")
+    shutil.copy(f"{src}/{first}", f"{dup_src}/part-b.parquet")
+
+    deduped = XS.dedup_stream(XS.read_transcript_stream(spark, dup_src))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table("dedup_stream_t")
+    n_raw = spark.read.parquet(dup_src).count()
+    n_keys = (
+        spark.read.parquet(dup_src).select("conv_id", "turn_idx").distinct().count()
+    )
+    assert n_raw == 2 * n_keys            # every key delivered twice
+    assert out.count() == n_keys          # exactly once after dedup
+    assert out.select("conv_id", "turn_idx").distinct().count() == n_keys
