@@ -357,6 +357,18 @@ def q_structured_extract(spark, sf_dir):
     return out.select("event_id", "k", "label", "parse_failed").orderBy("event_id")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The composed curation pipeline (plans/curation.py): extract ->
+    quality gate -> language gate -> exact-dedup keep-min, one lazy plan.
+    Oracle replays the identical chain in SQL over the shared normalization
+    CTE."""
+    from document_extraction_spark.plans.curation import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate_documents(d, min_quality=0.5, langs=("en",))
+    return out.select("doc_id", "text", "quality", "lang").orderBy("doc_id")
+
+
 def q_cube_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1120,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_srp_near_dup": x_srp_near_dup,
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_structured_extract": q_structured_extract,
+        "q_curation_pipeline": q_curation_pipeline,
         "q_cube_orders": q_cube_orders,
         "q_pivot_lineitem": q_pivot_lineitem,
         "q_orders_by_month": q_orders_by_month,
@@ -1236,6 +1249,25 @@ SELECT doc_id, {sig} AS simhash FROM votes ORDER BY doc_id
 
 # ASCII whitespace charset for DuckDB trim() (Python str.strip() analogue)
 _WS_SET = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+
+def _sql_normalize_ctes() -> str:
+    """The s0..fin WITH-chain replicating core/normalize.normalize_one over
+    documents.text (fence strip slices, NFC, CRLF->LF, hws collapse, line
+    trim, 3+ newlines -> 2, strip); ends with ``fin(doc_id, t)``. Shared by
+    q_extract_plain_docs and q_curation_pipeline."""
+    return f"""
+            WITH s0 AS (SELECT doc_id, trim(coalesce(text,''), {_WS_SET}) AS t FROM documents),
+            s1 AS (SELECT doc_id, CASE WHEN t LIKE '```json%' THEN substr(t, 8) ELSE t END AS t FROM s0),
+            s2 AS (SELECT doc_id, CASE WHEN t LIKE '```%' THEN substr(t, 4) ELSE t END AS t FROM s1),
+            s3 AS (SELECT doc_id, CASE WHEN t LIKE '%```' THEN substr(t, 1, greatest(length(t)-3,0)) ELSE t END AS t FROM s2),
+            s4 AS (SELECT doc_id, nfc_normalize(trim(t, {_WS_SET})) AS t FROM s3),
+            s5 AS (SELECT doc_id, replace(replace(t, chr(13)||chr(10), chr(10)), chr(13), chr(10)) AS t FROM s4),
+            s6 AS (SELECT doc_id, regexp_replace(t, '[^\\S\\n]+', ' ', 'g') AS t FROM s5),
+            s7 AS (SELECT doc_id, regexp_replace(t, '[^\\S\\n]*\\n[^\\S\\n]*', chr(10), 'g') AS t FROM s6),
+            s8 AS (SELECT doc_id, regexp_replace(t, '\\n{{3,}}', chr(10)||chr(10), 'g') AS t FROM s7),
+            fin AS (SELECT doc_id, trim(t, {_WS_SET}) AS t FROM s8)
+    """
 
 _SQL_COS = (
     "(list_aggregate(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
@@ -1478,6 +1510,20 @@ def oracle_sql() -> dict[str, str]:
                    false AS parse_failed
             FROM events WHERE event_id < 500 ORDER BY event_id
         """,
+        "q_curation_pipeline": _sql_normalize_ctes() + f"""
+            , feat AS (
+              SELECT doc_id, t AS text,
+                     {TS.sql_quality_score('t')}::DOUBLE AS quality,
+                     {TS.sql_lang_guess('t')} AS lang,
+                     {TS.SQL_FINGERPRINT.format(c='t')} AS fp
+              FROM fin),
+            gated AS (
+              SELECT * FROM feat WHERE quality >= 0.5 AND lang = 'en')
+            SELECT doc_id, text, quality, lang FROM (
+              SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM gated)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
         "q_cube_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                    round(sum(o_totalprice::DECIMAL(18,4)), 2)::DOUBLE AS sum_price
@@ -1673,17 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         # relied on the corpus being single-line and fence-free). ASCII
         # whitespace only — matches this corpus; the Python side also strips
         # unicode spaces (tests/ cover that path).
-        "q_extract_plain_docs": f"""
-            WITH s0 AS (SELECT doc_id, trim(coalesce(text,''), {_WS_SET}) AS t FROM documents),
-            s1 AS (SELECT doc_id, CASE WHEN t LIKE '```json%' THEN substr(t, 8) ELSE t END AS t FROM s0),
-            s2 AS (SELECT doc_id, CASE WHEN t LIKE '```%' THEN substr(t, 4) ELSE t END AS t FROM s1),
-            s3 AS (SELECT doc_id, CASE WHEN t LIKE '%```' THEN substr(t, 1, greatest(length(t)-3,0)) ELSE t END AS t FROM s2),
-            s4 AS (SELECT doc_id, nfc_normalize(trim(t, {_WS_SET})) AS t FROM s3),
-            s5 AS (SELECT doc_id, replace(replace(t, chr(13)||chr(10), chr(10)), chr(13), chr(10)) AS t FROM s4),
-            s6 AS (SELECT doc_id, regexp_replace(t, '[^\\S\\n]+', ' ', 'g') AS t FROM s5),
-            s7 AS (SELECT doc_id, regexp_replace(t, '[^\\S\\n]*\\n[^\\S\\n]*', chr(10), 'g') AS t FROM s6),
-            s8 AS (SELECT doc_id, regexp_replace(t, '\\n{{3,}}', chr(10)||chr(10), 'g') AS t FROM s7),
-            fin AS (SELECT doc_id, trim(t, {_WS_SET}) AS t FROM s8)
+        "q_extract_plain_docs": _sql_normalize_ctes() + """
             SELECT doc_id, t AS extracted,
                    CASE WHEN length(t) > 0 THEN 1 ELSE 0 END::BIGINT AS n_blocks_kept,
                    false AS parse_failed

@@ -103,6 +103,31 @@ class TableIO:
         shutil.rmtree(bak)
         return len([f for f in os.listdir(path) if f.endswith(".parquet")])
 
+    def upsert(self, df: DataFrame, name: str, key_cols: list[str]) -> None:
+        """MERGE-style upsert: rows in ``df`` replace existing rows with the
+        same key; everything else is kept. Parquet backend: old LEFT ANTI df
+        on the keys, union, staged rewrite (same crash-safe swap as compact).
+        Iceberg backend is a real MERGE INTO and doesn't rewrite untouched
+        files — the parquet path trades write amplification for the same
+        semantics. No-op table -> plain write."""
+        import os
+        import shutil
+
+        if self.catalog:
+            raise NotImplementedError("Iceberg upsert goes through MERGE INTO")
+        path = self._ident(name)
+        if not self.exists(name):
+            df.write.mode("overwrite").parquet(path)
+            return
+        old = self.spark.read.parquet(path)
+        merged = old.join(df.select(*key_cols).distinct(), key_cols, "left_anti").unionByName(df)
+        tmp = path + ".upsert_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        bak = path + ".upsert_old"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+
     def overwrite_partitions(self, df: DataFrame, name: str, partition_cols: list[str]) -> None:
         if self.catalog:
             df.writeTo(self._ident(name)).overwritePartitions()

@@ -104,3 +104,19 @@ def test_tableio_iceberg_guard(spark, tmp_path):
         pytest.skip("iceberg on classpath here")
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         TableIO(spark, str(tmp_path), catalog="lake")
+
+
+def test_tableio_upsert(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    io.upsert(base, "tu", ["k"])                      # fresh table -> write
+    assert io.read("tu").count() == 3
+    delta = spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"])
+    io.upsert(delta, "tu", ["k"])                     # replace k=2, add k=4
+    got = {r["k"]: r["v"] for r in io.read("tu").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    import os
+    assert not os.path.exists(f"{tmp_path}/tu.upsert_tmp")
+    assert not os.path.exists(f"{tmp_path}/tu.upsert_old")
