@@ -90,6 +90,50 @@ def q_top_revenue_customers(spark, sf_dir):
     return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer x date-filtered orders x
+    lineitem, revenue per order, top 10. Dimension filters pushed to the
+    scans; customer side broadcast."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_regional_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: six-table join (customer-orders-lineitem-supplier-
+    nation-region) with the local-supplier condition (customer and supplier
+    share a nation), revenue per nation. Small dims broadcast; the
+    lineitem x orders spine is the only big join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 def q_order_rank_window(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
@@ -590,6 +634,42 @@ def x_approx_aggs(spark, sf_dir):
             F.percentile_approx("value", 0.99).alias("approx_p99"),
         )
         .orderBy("event_type")
+    )
+
+
+def q_window_navigation(spark, sf_dir):
+    """Window navigation functions: first/last/nth/lead over each customer's
+    order history."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 60)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(w_all).alias("first_order"),
+            F.last("o_orderkey").over(w_all).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w_all).alias("second_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q_stats_aggs(spark, sf_dir):
+    """Statistical aggregates: stddev/variance/correlation/covariance per
+    return flag (rounded to 3 — cross-engine float formulas agree to well
+    beyond that at this scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 3).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("cov_qty_price"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -1107,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
         "q_top_revenue_customers": q_top_revenue_customers,
+        "q_shipping_priority": q_shipping_priority,
+        "q_regional_supplier_volume": q_regional_supplier_volume,
         "q_order_rank_window": q_order_rank_window,
         "q_customers_without_orders": q_customers_without_orders,
         "q_parts_in_lineitem": q_parts_in_lineitem,
@@ -1145,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_running_revenue": q_running_revenue,
         "q_argmax_order_per_cust": q_argmax_order_per_cust,
         "q_order_deciles": q_order_deciles,
+        "q_window_navigation": q_window_navigation,
+        "q_stats_aggs": q_stats_aggs,
         "q_window_range_frame": q_window_range_frame,
         "q_unpivot": q_unpivot,
         "x_approx_aggs": x_approx_aggs,
@@ -1296,6 +1380,30 @@ def oracle_sql() -> dict[str, str]:
                           JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "q_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "q_regional_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON l_orderkey = o_orderkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                               AND c_nationkey = s_nationkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
         """,
         "q_order_rank_window": """
             SELECT o_custkey, o_orderkey, rn FROM (
@@ -1611,6 +1719,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, decile, count(*) AS n_orders,
                    round(min(o_totalprice), 2) AS floor_price
             FROM d GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_window_navigation": """
+            SELECT o_custkey, o_orderkey,
+                   first_value(o_orderkey) OVER w_all AS first_order,
+                   last_value(o_orderkey) OVER w_all AS last_order,
+                   nth_value(o_orderkey, 2) OVER w_all AS second_order,
+                   lead(o_orderkey) OVER w AS next_order
+            FROM orders WHERE o_custkey <= 60
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "q_stats_aggs": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 3) AS sd_qty,
+                   round(var_samp(l_quantity), 3) AS var_qty,
+                   round(corr(l_quantity, l_extendedprice), 3) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qty_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q_window_range_frame": """
             SELECT o_custkey, o_orderkey,
