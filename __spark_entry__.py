@@ -382,6 +382,16 @@ def q_extract_plain_docs(spark, sf_dir):
     )
 
 
+def q_split_oversized(spark, sf_dir):
+    """Oversized-payload chunking (plans/extract_pipeline.split_oversized_turns):
+    map-only posexplode of fixed-width substrings; byte-exact reassembly is
+    pytest-pinned."""
+    from document_extraction_spark.plans.extract_pipeline import split_oversized_turns
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    return split_oversized_turns(d, max_chars=500).orderBy("doc_id", "chunk_idx")
+
+
 def q_structured_extract(spark, sf_dir):
     """Schema-by-example structured extraction (reference extractor.py:76-132):
     runtime user schema -> fence strip -> from_json, null-for-missing.
@@ -1214,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_srp_near_dup": x_srp_near_dup,
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_structured_extract": q_structured_extract,
+        "q_split_oversized": q_split_oversized,
         "q_curation_pipeline": q_curation_pipeline,
         "q_cube_orders": q_cube_orders,
         "q_pivot_lineitem": q_pivot_lineitem,
@@ -1610,6 +1621,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({_SQL_COS}, 4)::DOUBLE >= 0.3
             ORDER BY id_a, id_b
+        """,
+        "q_split_oversized": """
+            WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+            n AS (SELECT doc_id, text,
+                         greatest(ceil(length(text) / 500.0), 1)::INT AS k
+                  FROM src)
+            , ex AS (SELECT doc_id, text, unnest(generate_series(1, k)) AS i FROM n)
+            SELECT doc_id, (i - 1)::INT AS chunk_idx,
+                   substr(text, ((i - 1) * 500 + 1)::INT, 500) AS text
+            FROM ex ORDER BY doc_id, chunk_idx
         """,
         "q_structured_extract": """
             SELECT event_id,

@@ -132,6 +132,31 @@ def build_extract_df(
     )
 
 
+def split_oversized_turns(
+    df: DataFrame, max_chars: int, text_col: str = "text"
+) -> DataFrame:
+    """Content-preserving oversized-payload policy (the alternative to
+    ``max_payload_chars`` truncation): turns longer than ``max_chars``
+    explode into ⌈len/max⌉ chunk rows, keyed (conv_id, turn_idx, chunk_idx).
+
+    Map-only (sequence + substr inside posexplode — no shuffle, no Python);
+    concatenating a turn's chunks in chunk_idx order reproduces the original
+    text byte-for-byte (pytest-pinned). This is the skew policy for the
+    single-10MB-turn case: the giant row becomes N normal rows that spread
+    across tasks, and extraction stays per-row stateless.
+    """
+    c = F.col(text_col)
+    n_chunks = F.greatest(F.ceil(F.length(c) / F.lit(max_chars)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: c.substr(i * max_chars + 1, F.lit(max_chars)),
+    )
+    others = [x for x in df.columns if x != text_col]
+    return df.select(
+        *others, F.posexplode(chunks).alias("chunk_idx", text_col)
+    ).select(*others, "chunk_idx", text_col)
+
+
 def metrics_by_partition(extracted: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows (north-star requirement)."""
     return (

@@ -120,3 +120,29 @@ def test_tableio_upsert(spark, tmp_path):
     import os
     assert not os.path.exists(f"{tmp_path}/tu.upsert_tmp")
     assert not os.path.exists(f"{tmp_path}/tu.upsert_old")
+
+
+def test_split_oversized_turns_roundtrip(spark):
+    from document_extraction_spark.plans.extract_pipeline import split_oversized_turns
+
+    rows = [
+        ("c", 0, "short"),
+        ("c", 1, "x" * 2500 + "y" * 2500),   # 5000 chars -> 5 chunks @ 1000
+        ("c", 2, ""),                          # empty stays one (empty) chunk
+        ("c", 3, "z" * 1000),                  # exact boundary -> 1 chunk
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = split_oversized_turns(df, max_chars=1000)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["turn_idx"], []).append((r["chunk_idx"], r["text"]))
+    assert [c for c, _ in sorted(got[0])] == [0]
+    assert [c for c, _ in sorted(got[1])] == [0, 1, 2, 3, 4]
+    assert all(len(t) == 1000 for _, t in got[1])
+    # byte-exact reassembly in chunk order
+    assert "".join(t for _, t in sorted(got[1])) == "x" * 2500 + "y" * 2500
+    assert sorted(got[2]) == [(0, "")]
+    assert sorted(got[3]) == [(0, "z" * 1000)]
+    # map-only: no exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
