@@ -1,0 +1,82 @@
+"""Deterministic sampling operators for corpus curation.
+
+`df.sample()` is nondeterministic across retries/partitionings — useless for
+reproducible training-data curation and impossible to oracle-check. These
+operators key every decision off a content hash (md5 of the row key), so a
+row's fate is a pure function of its key: re-runs, task retries, and engines
+all agree. This is the standard trick for sampling a 100 TB corpus: the
+"sample" is a pushed-down filter (map-only, no shuffle) for fractional
+sampling, or one window shuffle per stratum for exact-n sampling.
+
+Reference parity note: the reference CLI (/root/reference) processes a single
+document end-to-end and has no sampling stage; these operators extend the
+engine for corpus-scale curation (SURVEY.md training-data-pipeline section).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8  # 32 bits of the md5 prefix decide the sample
+
+
+def _hash_hex(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, _HEX_WIDTH)
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold t such that P[md5_prefix < t] == fraction (md5 prefixes
+    are uniform on [0, 16^8)). Lexicographic compare of fixed-width lowercase
+    hex == numeric compare, identically in every engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(round(fraction * 16**_HEX_WIDTH)), f"0{_HEX_WIDTH}x")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose salted key-hash prefix
+    falls below the fraction threshold. Map-only — the predicate is a plain
+    string comparison that Catalyst keeps inside WholeStageCodegen; at scale
+    it runs during the scan, so downstream stages see only the sample.
+    Different `salt` values draw independent samples (e.g. train/valid
+    splits that provably never overlap when thresholds partition [0,1))."""
+    return df.filter(_hash_hex(F.col(key_col), salt) < fraction_threshold(fraction))
+
+
+def train_valid_split(
+    df: DataFrame, valid_fraction: float, key_col: str, salt: str = "split"
+) -> DataFrame:
+    """Tag every row 'valid' or 'train' from one hash draw — a disjoint,
+    exhaustive, deterministic split (the property random splits lose on
+    re-runs). Adds a `split` column; no shuffle."""
+    h = _hash_hex(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(h < fraction_threshold(valid_fraction), F.lit("valid")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY n rows per stratum (when the stratum has that many),
+    deterministically: rank rows inside each stratum by their key hash (tie
+    break on the key itself — md5 collisions must not make rank 7 ambiguous)
+    and keep the first n. One shuffle on the strata columns; rank+filter is
+    the classic top-k window that AQE handles per-partition. Adds
+    `sample_rank` (1-based)."""
+    h = _hash_hex(F.col(key_col), salt)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

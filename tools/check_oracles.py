@@ -55,6 +55,17 @@ def _canon_value(v):
     return repr(v)
 
 
+def _float_eq(a: float, b: float) -> bool:
+    """Match the driver's BYTE-hash semantics, not Python `==`: the driver
+    hashes value bytes, so -0.0 vs 0.0 is a mismatch even though they compare
+    equal (round-2's q_stats_aggs failure — the second checker-laxer-than-
+    driver divergence; this makes the local gate strictly as strict)."""
+    a, b = float(a), float(b)
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -96,15 +107,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c].iloc[:n], b[c].iloc[:n]
         if pd.api.types.is_float_dtype(av):
-            bad = [
-                i for i in range(n)
-                if not (
-                    (math.isnan(av.iat[i]) and math.isnan(bv.iat[i]))
-                    if (isinstance(av.iat[i], float) and math.isnan(av.iat[i])) or
-                       (isinstance(bv.iat[i], float) and math.isnan(bv.iat[i]))
-                    else av.iat[i] == bv.iat[i]
-                )
-            ]
+            bad = [i for i in range(n) if not _float_eq(av.iat[i], bv.iat[i])]
         else:
             bad = [i for i in range(n) if av.iat[i] != bv.iat[i]]
         if bad:
