@@ -52,9 +52,13 @@ def read_binary(spark: SparkSession, path: str, glob: str | None = None) -> Data
 
 def binary_to_turns(bin_df: DataFrame, paginate: bool = True) -> DataFrame:
     """Decode file bytes to text and fan out one turn per ``\\f``-delimited
-    page: conv_id = file name, turn_idx = page ordinal, ts = file mtime.
-    Malformed byte sequences become U+FFFD (errors='replace') so any input
-    is total and deterministic."""
+    page: conv_id = full file path (scheme stripped), turn_idx = page
+    ordinal, ts = file mtime.  The full path — not the basename — keys the
+    conversation: two same-named files in different subdirectories of the
+    scan must not collapse into one conversation with colliding
+    (conv_id, turn_idx) pairs, which would corrupt downstream keyed dedup
+    and reassembly.  Malformed byte sequences become U+FFFD
+    (errors='replace') so any input is total and deterministic."""
     from document_extraction_spark.session import ensure_worker_package
 
     ensure_worker_package(bin_df.sparkSession)
@@ -65,7 +69,9 @@ def binary_to_turns(bin_df: DataFrame, paginate: bool = True) -> DataFrame:
             for path, mtime, content in zip(
                 pdf["path"], pdf["modificationTime"], pdf["content"]
             ):
-                name = path.rsplit("/", 1)[-1]
+                name = path.split("://", 1)[-1] if "://" in path else (
+                    path[5:] if path.startswith("file:") else path
+                )
                 text = (bytes(content) if content is not None else b"").decode(
                     "utf-8", errors="replace"
                 )

@@ -92,6 +92,20 @@ class TableIO:
                 "Iceberg compaction goes through rewrite_data_files"
             )
         path = self._ident(name)
+        # a Hive-partitioned layout would be silently flattened by the
+        # read->coalesce->rewrite below (partition dirs become plain data
+        # columns in unpartitioned files), losing pruning and breaking later
+        # overwrite_partitions — refuse, mirroring the Iceberg guard above
+        part_dirs = [
+            d for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        ]
+        if part_dirs:
+            raise NotImplementedError(
+                f"compact() supports unpartitioned tables only; {name!r} has "
+                f"partition directories (e.g. {part_dirs[0]!r}) — compact per "
+                "partition via overwrite_partitions instead"
+            )
         tmp = path + ".compact_tmp"
         df = self.spark.read.parquet(path)
         df.coalesce(target_files).write.mode("overwrite").parquet(tmp)

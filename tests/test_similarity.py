@@ -109,6 +109,16 @@ def test_srp_near_dup_precision_and_recall(spark, emb):
         assert v == exact[k]                # identical verified cosines
 
 
+def test_srp_rejects_dim_mismatch(spark, emb):
+    """dim != actual embedding length must fail loudly: zip_with null-pads,
+    the dot product goes NULL, every sign bit falls to 0, and all vectors
+    share one bucket per band — the quadratic blowup SRP exists to prevent."""
+    with pytest.raises(Exception, match="SRP hyperplanes|USER_RAISED"):
+        SIM.srp_near_dup_pairs(emb, dim=64).collect()  # embeddings are 16-dim
+    with pytest.raises(Exception, match="SRP hyperplanes|USER_RAISED"):
+        SIM.srp_lsh_topk(emb, emb.limit(2), dim=64).collect()
+
+
 def test_srp_near_dup_rejects_bad_bands(spark, emb):
     import pytest as _pytest
 

@@ -99,6 +99,20 @@ def test_tableio_compact(spark, tmp_path):
     assert not os.path.exists(f"{tmp_path}/tc.compact_old")
 
 
+def test_tableio_compact_refuses_partitioned(spark, tmp_path):
+    """compact() on a Hive-partitioned table would silently flatten the
+    key=value directory layout (losing pruning) — it must refuse instead."""
+    io = TableIO(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "part"])
+    io.append(df, "tp", partition_cols=["part"])
+    with pytest.raises(NotImplementedError, match="unpartitioned"):
+        io.compact("tp")
+    # layout untouched after the refusal
+    assert io.read("tp").count() == 2
+    import os
+    assert any("=" in d for d in os.listdir(f"{tmp_path}/tp"))
+
+
 def test_tableio_iceberg_guard(spark, tmp_path):
     if iceberg_available(spark):
         pytest.skip("iceberg on classpath here")
