@@ -102,6 +102,29 @@ def validate(args) -> str | None:
     return None
 
 
+def attach_metrics(out, structured: bool):
+    """Attach the CLI's metrics as an ``Observation`` on the OUTPUT frame:
+    the aggregates accumulate inside the same job that writes the parquet,
+    so the CLI runs ONE scan total (the round-2 version re-read the result
+    from disk — a second full pass that scales with the corpus). Returns
+    (observed_df, observation); read ``observation.get`` only after the
+    write action completes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("cli_metrics")
+    metrics = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("parse_failed").cast("long")).alias("n_parse_failed"),
+    ]
+    if not structured:
+        metrics += [
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        ]
+    return out.observe(obs, *metrics), obs
+
+
 def run_cli(argv: list[str] | None = None) -> int:
     args = make_parser().parse_args(argv)
     err = validate(args)
@@ -111,10 +134,7 @@ def run_cli(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
-    from document_extraction_spark.plans.extract_pipeline import (
-        build_extract_df,
-        metrics_by_partition,
-    )
+    from document_extraction_spark.plans.extract_pipeline import build_extract_df
     from document_extraction_spark.session import get_spark
 
     spark = get_spark("document_extraction_cli", master=args.master)
@@ -138,29 +158,15 @@ def run_cli(argv: list[str] | None = None) -> int:
             payload_col="text",
             keep_cols=["conv_id", "turn_idx", "extract_parse_failed"],
         )
+    out, obs = attach_metrics(out, structured=bool(args.schema))
     out.write.mode("overwrite").parquet(args.dst)
+    got = {k: (v if v is not None else 0) for k, v in obs.get.items()}
     if args.schema:
-        metrics = (
-            spark.read.parquet(args.dst)
-            .agg(
-                F.count(F.lit(1)).alias("n_turns"),
-                F.sum(F.col("parse_failed").cast("long")).alias("n_parse_failed"),
-            )
-            .collect()[0]
-            .asDict()
-        )
-        print(json.dumps({"mode": "structured", **metrics}))
+        print(json.dumps({"mode": "structured", **got}))
     else:
-        rows = [r.asDict() for r in metrics_by_partition(spark.read.parquet(args.dst)).collect()]
-        total = {
-            "mode": "extract",
-            "n_turns": sum(r["n_turns"] for r in rows),
-            "n_parse_failed": sum(r["n_parse_failed"] for r in rows),
-            "bytes_in": sum(r["bytes_in"] for r in rows),
-            "bytes_out": sum(r["bytes_out"] for r in rows),
-            "n_partitions": len(rows),
-        }
-        print(json.dumps(total))
+        # file count is free driver-side metadata, not another scan
+        n_files = len([f for f in os.listdir(args.dst) if f.endswith(".parquet")])
+        print(json.dumps({"mode": "extract", **got, "n_partitions": n_files}))
     return 0
 
 
