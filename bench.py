@@ -70,6 +70,9 @@ def main() -> int:
         "x_ivf_ann_topk",           # ANN scale path (round 2)
         "q_structured_extract",     # schema-by-example mode (round 2)
         "q_extract_plain_docs",
+        "q_curation_pipeline",      # composed path users actually run (round 3)
+        "q_asof_join",              # temporal joins in the tracker (round 3)
+        "q_range_join",
     ]
 
     def best_of(fn, runs: int = 3) -> float:
