@@ -535,6 +535,22 @@ def q_host_aggregation(spark, sf_dir):
     )
 
 
+def q_pack_context(spark, sf_dir):
+    """Sequence packing (operators/packing.py): documents -> (shard, bin)
+    context-window assignment under a 200-token cap, greedy-with-reset in
+    doc_id order within md5-derived shards. The oracle replays the exact
+    sequential rule with a recursive CTE advancing all shards one row per
+    step."""
+    from document_extraction_spark.operators import packing as PK
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", TS.token_count(F.col("text")).cast("long").alias("n_tok"))
+    out = PK.pack_documents(docs, cap=200, n_shards=16, tokens_col="n_tok")
+    return out.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "bin", "n_tok"
+    ).orderBy("doc_id")
+
+
 def q_cube_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -1359,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,
         "q_host_aggregation": q_host_aggregation,
+        "q_pack_context": q_pack_context,
         # -- (c) rotation of green entries, one-plus per operator category
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_structured_extract": q_structured_extract,
@@ -1833,6 +1850,29 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY host
             HAVING round(sum(q)::DOUBLE / count(*), 4) >= 0.2
             ORDER BY host
+        """,
+        # the packing rule is sequential per shard; the recursive CTE steps
+        # every shard forward one row at a time, reproducing greedy-with-reset
+        "q_pack_context": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef',
+                             substr(md5(doc_id::VARCHAR), 1, 1)) - 1)::BIGINT AS shard,
+                     ({TS.SQL_TOKEN_COUNT.format(c='text')})::BIGINT AS n_tok
+              FROM documents),
+            docs AS (
+              SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              FROM base),
+            packed AS (
+              SELECT shard, doc_id, n_tok, rn, 0::BIGINT AS bin, n_tok AS fill
+              FROM docs WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.doc_id, d.n_tok, d.rn,
+                     CASE WHEN p.fill + d.n_tok > 200 THEN p.bin + 1 ELSE p.bin END,
+                     CASE WHEN p.fill + d.n_tok > 200 THEN d.n_tok
+                          ELSE p.fill + d.n_tok END
+              FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1)
+            SELECT doc_id, shard, bin, n_tok FROM packed ORDER BY doc_id
         """,
         "q_curation_pipeline": _sql_normalize_ctes() + f"""
             , feat AS (
