@@ -535,6 +535,28 @@ def q_host_aggregation(spark, sf_dir):
     )
 
 
+def q_context_window(spark, sf_dir):
+    """Rolling context assembly (the prompt-construction shape over
+    transcript turns): for every event, the last-4 event types of the same
+    user in (ts, event_id) order, as a JSON array. A ROWS frame over the
+    conv/user key — exactly one shuffle, frame order deterministic via the
+    (ts, event_id) tiebreak."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.to_json(F.collect_list("event_type").over(w)).alias("ctx"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_pack_context(spark, sf_dir):
     """Sequence packing (operators/packing.py): documents -> (shard, bin)
     context-window assignment under a 200-token cap, greedy-with-reset in
@@ -1376,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,
         "q_host_aggregation": q_host_aggregation,
         "q_pack_context": q_pack_context,
+        "q_context_window": q_context_window,
         # -- (c) rotation of green entries, one-plus per operator category
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_structured_extract": q_structured_extract,
@@ -1850,6 +1873,13 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY host
             HAVING round(sum(q)::DOUBLE / count(*), 4) >= 0.2
             ORDER BY host
+        """,
+        "q_context_window": """
+            SELECT event_id, user_id,
+                   to_json(list(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::VARCHAR AS ctx
+            FROM events WHERE user_id <= 30 ORDER BY event_id
         """,
         # the packing rule is sequential per shard; the recursive CTE steps
         # every shard forward one row at a time, reproducing greedy-with-reset
