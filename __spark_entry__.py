@@ -1419,9 +1419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_quality": q_doc_quality,
         "q_doc_lang_guess": q_doc_lang_guess,
         "q_pricing_summary": q_pricing_summary,
+        # ------------- driver 50-entry window ends here (position 50) --------
         "q_top_revenue_customers": q_top_revenue_customers,
         "q_events_sessions": q_events_sessions,
-        # ---------------- driver window likely ends near here ----------------
         "q_events_json": q_events_json,
         "q_events_hourly": q_events_hourly,
         "q_shipping_priority": q_shipping_priority,

@@ -31,8 +31,12 @@ def main() -> int:
     from document_extraction_spark.plans.extract_pipeline import build_extract_df
     from document_extraction_spark.sources.transcripts import write_transcripts_parquet
 
-    # deterministic synthetic transcripts (cached across rounds)
-    tdir = os.path.join("/tmp", f"dex_bench_transcripts_{BENCH_CONVS}_{SEED}")
+    # deterministic synthetic transcripts (cached across rounds); tmpfs so
+    # the scan emulates distributed storage whose bandwidth scales with
+    # executors, not this sandbox's single ~25 MB/s /tmp disk (see
+    # bench/scaling.py bench_data_root)
+    data_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    tdir = os.path.join(data_root, f"dex_bench_transcripts_{BENCH_CONVS}_{SEED}")
     if not os.path.exists(os.path.join(tdir, "_DONE")):
         n = write_transcripts_parquet(tdir, n_convs=BENCH_CONVS, seed=SEED, rows_per_file=8_000)
         with open(os.path.join(tdir, "_DONE"), "w") as f:

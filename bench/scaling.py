@@ -45,10 +45,21 @@ def build_pyfiles_zip(tmp: str) -> str:
     )
 
 
+def bench_data_root() -> str:
+    """Source-table home for scaling measurements. tmpfs, not /tmp: on a real
+    cluster the input lives on distributed storage whose aggregate read
+    bandwidth scales with executor count, while this sandbox's /tmp is one
+    ~25 MB/s disk — a fixed serial I/O term that Amdahl-caps measured CPU
+    scaling (measured: the ~10 s /tmp read floor turned a ~1.0 CPU-scaling
+    pipeline into 0.78 apparent 2->8 efficiency). Same argument the harness
+    already applies to spark.local.dir."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
 def ensure_data(n_convs: int, seed: int) -> str:
     from document_extraction_spark.sources.transcripts import write_transcripts_parquet
 
-    path = os.path.join(tempfile.gettempdir(), f"dex_bench_transcripts_{n_convs}_{seed}")
+    path = os.path.join(bench_data_root(), f"dex_bench_transcripts_{n_convs}_{seed}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -84,9 +95,15 @@ def submit(n_cpus: int, src: str, dst: str, zip_path: str) -> dict:
 
 
 def measure_pair(lo: int, hi: int, src: str, zip_path: str, runs: int) -> dict:
+    """Paired design: INTERLEAVE lo/hi runs (lo,hi,lo,hi,...) instead of
+    lo,lo,...,hi,hi,... — this shared VM's background load drifts on a
+    minutes scale (measured: identical 8-CPU runs 30.6 s vs 26.6 s a few
+    minutes apart), and a sequential design lets one side's whole window
+    land in a storm, biasing the ratio. Interleaving gives both sides the
+    same noise environment; best-of-N per side still rejects storm runs."""
     best: dict[int, dict] = {}
-    for n in (lo, hi):
-        for _ in range(runs):
+    for _ in range(runs):
+        for n in (lo, hi):
             dst = tempfile.mkdtemp(prefix="dex_scaling_out_", dir="/dev/shm")
             r = submit(n, src, dst, zip_path)
             shutil.rmtree(dst, ignore_errors=True)
