@@ -816,6 +816,90 @@ def q_window_navigation(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct word-3-gram overlap between a
+    deterministic 'benchmark' slice (doc_id % 20 = 3) and the rest of the
+    corpus. Per-doc grams deduped map-side (array_distinct before explode),
+    benchmark gram set broadcast, one small groupBy shuffle on matches."""
+    from document_extraction_spark.operators.decontaminate import (
+        contaminated_ngram_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 3)
+    corpus = d.filter(F.col("doc_id") % 20 != 3)
+    return contaminated_ngram_counts(corpus, bench, n=3).orderBy("doc_id")
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style within-document repetition signals (dup-word fraction
+    map-only; top-2/3-gram coverage via one (doc,gram)-keyed shuffle each
+    with map-side combine) over a 200-doc slice."""
+    from document_extraction_spark.operators.quality_signals import (
+        repetition_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return repetition_signals(d).orderBy("doc_id")
+
+
+def q_inverted_index(spark, sf_dir):
+    """Inverted index build: term -> exact document frequency + capped
+    sorted posting list (JSON-serialized so the frame stays
+    oracle-hashable)."""
+    from document_extraction_spark.operators.search import inverted_index
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return inverted_index(d, max_postings=50).orderBy("term")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword search top-20: query terms filtered BEFORE the tf
+    shuffle, corpus scalars (N, avgdl from exact integer sums) broadcast,
+    ranking on the rounded score for engine-stable order."""
+    from document_extraction_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "window", "merge"], k=20)
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup: canonicalize deterministically-synthesized URL
+    variants (scheme case, www., query string, fragment, trailing slash)
+    and collapse to (canonical, n_dupes, keep_id=min doc_id) — the first
+    dedup key of a web-crawl pipeline, pure codegen'd regexp chain."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    scheme = (
+        F.when(m == 0, F.lit("https://www."))
+        .when(m == 1, F.lit("http://"))
+        .when(m == 2, F.lit("HTTPS://"))
+        .otherwise(F.lit(""))
+    )
+    suffix = (
+        F.when(m == 0, F.lit("?utm_source=x"))
+        .when(m == 1, F.lit("/"))
+        .when(m == 2, F.lit("#frag"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme,
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.floor(F.col("doc_id") / 7).cast("long").cast("string"),
+        suffix,
+    )
+    return (
+        d.select("doc_id", TS.canonical_url(url).alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dupes"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("canonical")
+    )
+
+
 def q_stats_aggs(spark, sf_dir):
     """Statistical aggregates: stddev/variance/correlation/covariance per
     return flag.  Every metric is `round(...) + 0.0`: IEEE `-0.0 + 0.0 =
@@ -1399,6 +1483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_aggregation": q_host_aggregation,
         "q_pack_context": q_pack_context,
         "q_context_window": q_context_window,
+        "q_decontaminate": q_decontaminate,
+        "q_repetition_signals": q_repetition_signals,
+        "q_inverted_index": q_inverted_index,
+        "q_bm25_topk": q_bm25_topk,
+        "q_url_dedup": q_url_dedup,
         # -- (c) rotation of green entries, one-plus per operator category
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_structured_extract": q_structured_extract,
@@ -1414,12 +1503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "x_srp_near_dup": x_srp_near_dup,
         "q_tfidf_top_terms": q_tfidf_top_terms,
+        # ------------- driver 50-entry window ends here (position 50) --------
         "q_pii_scrub": q_pii_scrub,
         "q_doc_token_stats": q_doc_token_stats,
         "q_doc_quality": q_doc_quality,
         "q_doc_lang_guess": q_doc_lang_guess,
         "q_pricing_summary": q_pricing_summary,
-        # ------------- driver 50-entry window ends here (position 50) --------
         "q_top_revenue_customers": q_top_revenue_customers,
         "q_events_sessions": q_events_sessions,
         "q_events_json": q_events_json,
@@ -2025,6 +2114,89 @@ def oracle_sql() -> dict[str, str]:
                    round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qty_price,
                    round(covar_samp(l_quantity, l_extendedprice), 1) + 0.0 AS cov_qty_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id, {TS.SQL_TOKENS.format(c='lower(text)')} AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, unnest(list_distinct({TS.sql_word_ngrams('t', 3)})) AS gram
+              FROM toks),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 3)
+            SELECT g.doc_id, count(*)::BIGINT AS n_shared
+            FROM grams g JOIN bench USING (gram)
+            WHERE g.doc_id % 20 <> 3
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_repetition_signals": f"""
+            WITH base AS (
+              SELECT doc_id, {TS.SQL_TOKENS.format(c='lower(text)')} AS t
+              FROM documents WHERE doc_id < 200),
+            words AS (
+              SELECT doc_id, len(t)::BIGINT AS n_words,
+                     round((len(t) - len(list_distinct(t)))::DOUBLE
+                           / greatest(len(t), 1)::DOUBLE, 4) AS dup_word_frac
+              FROM base),
+            g2 AS (SELECT doc_id, (len(t) - 1)::DOUBLE AS n_grams,
+                          unnest({TS.sql_word_ngrams('t', 2)}) AS gram FROM base),
+            c2 AS (SELECT doc_id, n_grams, gram, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+            t2 AS (SELECT doc_id, round(max(c)::DOUBLE / any_value(n_grams), 4)
+                          AS top2gram_frac FROM c2 GROUP BY 1),
+            g3 AS (SELECT doc_id, (len(t) - 2)::DOUBLE AS n_grams,
+                          unnest({TS.sql_word_ngrams('t', 3)}) AS gram FROM base),
+            c3 AS (SELECT doc_id, n_grams, gram, count(*) AS c FROM g3 GROUP BY 1, 2, 3),
+            t3 AS (SELECT doc_id, round(max(c)::DOUBLE / any_value(n_grams), 4)
+                          AS top3gram_frac FROM c3 GROUP BY 1)
+            SELECT w.doc_id, w.n_words, w.dup_word_frac,
+                   coalesce(t2.top2gram_frac, 0.0) AS top2gram_frac,
+                   coalesce(t3.top3gram_frac, 0.0) AS top3gram_frac
+            FROM words w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "q_inverted_index": f"""
+            WITH pairs AS (
+              SELECT doc_id, unnest({TS.SQL_TOKENS.format(c='lower(text)')}) AS term
+              FROM documents WHERE doc_id < 200),
+            tf AS (SELECT term, doc_id FROM pairs GROUP BY 1, 2)
+            SELECT term, count(*)::BIGINT AS df,
+                   to_json(list_slice(list_sort(list(doc_id)), 1, 50)) AS postings_json
+            FROM tf GROUP BY term ORDER BY term
+        """,
+        "q_bm25_topk": f"""
+            WITH pairs AS (
+              SELECT doc_id, unnest({TS.SQL_TOKENS.format(c='lower(text)')}) AS term
+              FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl_raw FROM pairs GROUP BY 1),
+            stats AS (SELECT sum(dl_raw)::DOUBLE / count(*) AS avgdl,
+                             count(*)::DOUBLE AS n_docs FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM pairs
+                   WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl_raw::DOUBLE / stats.avgdl))
+                       AS term_score
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+            SELECT doc_id, round(sum(term_score), 4) + 0.0 AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        """,
+        "q_url_dedup": f"""
+            WITH urls AS (
+              SELECT doc_id,
+                     (CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'http://'
+                           WHEN 2 THEN 'HTTPS://' ELSE '' END)
+                     || source || '.example.com/p/'
+                     || CAST(floor(doc_id / 7) AS BIGINT)::VARCHAR
+                     || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x' WHEN 1 THEN '/'
+                              WHEN 2 THEN '#frag' ELSE '' END) AS url
+              FROM documents)
+            SELECT {TS.SQL_CANONICAL_URL.format(c='url')} AS canonical,
+                   count(*)::BIGINT AS n_dupes, min(doc_id) AS keep_id
+            FROM urls GROUP BY 1 ORDER BY 1
         """,
         "q_window_range_frame": """
             SELECT o_custkey, o_orderkey,

@@ -93,6 +93,25 @@ def scrub_pii(col: Column) -> Column:
     return F.regexp_replace(out, PII_PHONE, "<PHONE>")
 
 
+def canonical_url(col: Column) -> Column:
+    """Canonical URL form for URL-level dedup (the first dedup key a web
+    corpus applies, before any content hashing): lowercase, scheme dropped,
+    leading ``www.`` dropped, query string / fragment dropped, trailing
+    slashes dropped. Pure codegen'd regexp_replace chain; exact DuckDB twin
+    in SQL_CANONICAL_URL."""
+    out = F.regexp_replace(F.lower(F.trim(col)), r"^https?://", "")
+    out = F.regexp_replace(out, r"^www\.", "")
+    out = F.regexp_replace(out, r"[?#].*$", "")
+    return F.regexp_replace(out, r"/+$", "")
+
+
+SQL_CANONICAL_URL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower(trim({c})), '^https?://', ''), '^www\\.', ''), "
+    "'[?#].*$', ''), '/+$', '')"
+)
+
+
 def quality_score(col: Column) -> Column:
     """Deterministic [0,1] quality heuristic: length saturation x punctuation
     sanity x mean-token-length sanity. Rounded to 4 decimals so the oracle
@@ -105,6 +124,30 @@ def quality_score(col: Column) -> Column:
     mean_tok = n_chars / F.greatest(n_tok.cast("double"), F.lit(1.0))
     tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round(len_sat * punct_ok * tok_ok, 4)
+
+
+def word_ngrams(tok_col: Column, n: int) -> Column:
+    """Sliding word n-grams over a token array, joined with single spaces.
+    Pure higher-order-function expression (sequence -> transform -> slice ->
+    array_join): JVM-side, zero shuffle, linear in token count. Empty array
+    when the document has fewer than ``n`` tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok_col) - (n - 1)),
+        lambda i: F.array_join(F.slice(tok_col, i, n), " "),
+    )
+    return F.when(F.size(tok_col) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_word_ngrams(toks: str, n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams` over a token-list expression."""
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')) "
+        f"ELSE []::VARCHAR[] END"
+    )
 
 
 def fingerprint(col: Column) -> Column:

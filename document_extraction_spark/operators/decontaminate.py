@@ -1,0 +1,89 @@
+"""Benchmark decontamination: flag corpus documents that share word n-grams
+with an evaluation/benchmark set.
+
+This is the standard pre-training hygiene pass (the reference pipeline has no
+analogue — it is a per-document extractor; decontamination is one of the
+"operations a large-scale training-data pipeline would need" the engine adds
+on top): any training document containing an n-gram that also appears in a
+held-out benchmark is flagged (and typically dropped or redacted) so the
+benchmark stays uncontaminated.
+
+Plan shape, and why it holds at 100 TB:
+
+* Per-document n-grams are built **map-only** with higher-order array
+  functions (``word_ngrams``: sequence -> transform -> slice), deduplicated
+  per document with ``array_distinct`` BEFORE the explode — so the exploded
+  gram stream carries each (doc, gram) once, never raw token positions.
+* The benchmark side is tiny by construction (eval sets are MBs against a
+  100 TB corpus), so its distinct-gram set is **broadcast**: the corpus-side
+  stream is filtered by a broadcast hash semi-join — zero shuffle of corpus
+  grams.
+* The only shuffle is the final ``groupBy(doc_id)`` count over the *matched*
+  grams — a vanishingly small fraction of the corpus — with map-side partial
+  aggregation.
+* If the benchmark is too big to broadcast (unusual), pass
+  ``broadcast_benchmark=False`` to fall back to a shuffled semi-join; the
+  gram key is high-cardinality and uniform, so no skew handling is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from document_extraction_spark.functions.textstats import tokens, word_ngrams
+
+
+def _doc_grams(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    toks = tokens(F.lower(F.col(text_col)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(toks, n))).alias("gram"),
+    )
+
+
+def contaminated_ngram_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-corpus-document count of distinct word ``n``-grams shared with the
+    benchmark set: ``(doc_id, n_shared)``, contaminated documents only.
+
+    ``n_shared`` counts *distinct* shared grams (each gram counted once per
+    document regardless of repetition), so the number is a stable
+    contamination severity signal independent of document length.
+    """
+    bench_grams = _doc_grams(benchmark, n, id_col, text_col).select("gram").distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = _doc_grams(corpus, n, id_col, text_col)
+    return (
+        corpus_grams.join(bench_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    max_shared: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents sharing more than ``max_shared`` distinct
+    ``n``-grams with the benchmark (default: any overlap drops the doc).
+    Returns the surviving corpus rows with their original columns."""
+    flagged = contaminated_ngram_counts(
+        corpus, benchmark, n=n, id_col=id_col, text_col=text_col
+    ).filter(F.col("n_shared") > max_shared)
+    return corpus.join(
+        flagged.withColumnRenamed("doc_id", id_col).select(id_col),
+        id_col,
+        "left_anti",
+    )

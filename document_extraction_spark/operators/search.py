@@ -1,0 +1,112 @@
+"""Full-text search primitives: inverted index build and BM25 top-k scoring.
+
+A training-data pipeline needs keyword search over the corpus (targeted
+audits, contamination spot-checks, topic mining). Both operators here are
+expressed as pure DataFrame aggregations so Catalyst/AQE own the physical
+plan.
+
+Plan shape at 100 TB:
+
+* Term frequencies: tokenize (map-only HOF) -> explode -> groupBy
+  ``(doc_id, term)`` — ONE shuffle with map-side partial aggregation, the
+  same irreducible shuffle as TF-IDF (operators/tfidf.py).
+* BM25 filters the exploded stream to the query terms BEFORE the shuffle
+  (a handful of literals pushed into the scan's generated filter), so the
+  per-query shuffle is proportional to the query's posting lists, not the
+  corpus. Document length and avgdl come from a separate count aggregate;
+  the two scalar corpus stats (N, avgdl) join in as broadcast one-row
+  frames — the plan stays lazy, nothing collects on the driver.
+* The inverted index caps each posting list at ``max_postings`` (real
+  systems shard long posting lists; a 100 TB corpus would make stop-word
+  postings unboundedly long otherwise) while ``df`` keeps the exact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from document_extraction_spark.functions.textstats import tokens
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 1000,
+) -> DataFrame:
+    """(term, df, postings_json): document frequency plus the first
+    ``max_postings`` doc ids (ascending) serialized as a JSON array —
+    serialized so the frame stays oracle-comparable (raw arrays crash the
+    driver's canonicalizer)."""
+    tf = _doc_terms(docs, id_col, text_col).groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.to_json(F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings)).alias(
+            "postings_json"
+        ),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (Robertson/Sparck-Jones idf variant):
+    (doc_id, score). Deterministic order: rounded score desc, doc_id asc —
+    rounding BEFORE ordering keeps the ranking engine-stable."""
+    terms = _doc_terms(docs, id_col, text_col)
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl_raw"))
+    dl = dl.select("doc_id", F.col("dl_raw").cast("double").alias("dl"), "dl_raw")
+    # avgdl from an exact integer sum (not avg-of-doubles) so the scalar is
+    # bit-identical regardless of aggregation order / engine
+    stats = dl.agg(
+        (F.sum("dl_raw").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    q = [t.lower() for t in query_terms]
+    tf = (
+        terms.filter(F.col("term").isin(q))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.round(F.sum("term_score"), 4) + F.lit(0.0)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,129 @@
+"""Unit tests for the round-3 curation operators: benchmark decontamination,
+Gopher-style repetition signals, inverted index / BM25 search, and URL
+canonicalization."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import functions as F
+
+from document_extraction_spark.functions.textstats import canonical_url
+from document_extraction_spark.operators.decontaminate import (
+    contaminated_ngram_counts,
+    decontaminate,
+)
+from document_extraction_spark.operators.quality_signals import repetition_signals
+from document_extraction_spark.operators.search import bm25_topk, inverted_index
+
+
+def test_contaminated_ngram_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "a x y z b"),        # shares trigram "x y z"
+            (1, "p q r s t"),        # clean
+            (2, "x y z x y z"),      # shared gram repeated -> still counted once
+            (3, "x y"),              # shorter than n -> no grams, clean
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "x y z w")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in contaminated_ngram_counts(corpus, bench, n=3).collect()
+    }
+    assert got == {0: 1, 2: 1}
+
+
+def test_decontaminate_drops_flagged(spark):
+    corpus = spark.createDataFrame(
+        [(0, "a x y z b"), (1, "p q r s t")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(100, "x y z w")], ["doc_id", "text"])
+    kept = [r["doc_id"] for r in decontaminate(corpus, bench, n=3).collect()]
+    assert kept == [1]
+
+
+def test_contamination_case_insensitive(spark):
+    corpus = spark.createDataFrame([(0, "A X Y Z")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, "x y z")], ["doc_id", "text"])
+    assert contaminated_ngram_counts(corpus, bench, n=3).count() == 1
+
+
+def test_repetition_signals_golden(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b"), (2, "c")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r0 = got[0]
+    assert r0["n_words"] == 4
+    assert r0["dup_word_frac"] == 0.5                 # (4 - 2) / 4
+    assert r0["top2gram_frac"] == round(2 / 3, 4)     # "a a" twice of 3 bigrams
+    assert r0["top3gram_frac"] == 0.5                 # "a a a" once of 2 trigrams
+    r1 = got[1]
+    assert r1["dup_word_frac"] == 0.0
+    assert r1["top2gram_frac"] == 1.0                 # single bigram
+    assert r1["top3gram_frac"] == 0.0                 # too short
+    assert got[2]["top2gram_frac"] == 0.0
+
+
+def test_inverted_index_postings(spark):
+    docs = spark.createDataFrame(
+        [(2, "b a"), (0, "a a"), (1, "a c")], ["doc_id", "text"]
+    )
+    got = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert got["a"]["df"] == 3
+    assert json.loads(got["a"]["postings_json"]) == [0, 1, 2]  # sorted, deduped
+    assert json.loads(got["b"]["postings_json"]) == [2]
+    # cap: df keeps the exact count, postings truncate
+    capped = {r["term"]: r for r in inverted_index(docs, max_postings=2).collect()}
+    assert capped["a"]["df"] == 3
+    assert json.loads(capped["a"]["postings_json"]) == [0, 1]
+
+
+def test_bm25_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(docs, ["apple", "cherry"], k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+
+    def idf(df):
+        return math.log(1 + (3 - df + 0.5) / (df + 0.5))
+
+    def ts(tf, dl, df, k1=1.2, b=0.75, avgdl=3.0):
+        return idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[0] == round(ts(2, 3, 1), 4)            # apple only
+    assert got[1] == round(ts(1, 2, 2), 4)            # cherry only
+    assert got[2] == round(ts(3, 4, 2), 4)            # cherry only
+    # ranking is rounded-score desc then doc_id asc
+    assert [r["doc_id"] for r in rows] == sorted(
+        got, key=lambda d: (-got[d], d)
+    )
+
+
+def test_bm25_query_casefold_and_k(spark):
+    docs = spark.createDataFrame([(0, "Apple"), (1, "pear")], ["doc_id", "text"])
+    rows = bm25_topk(docs, ["APPLE"], k=1).collect()
+    assert [r["doc_id"] for r in rows] == [0]
+
+
+def test_canonical_url(spark):
+    cases = {
+        "https://www.Example.com/Path/?utm=x#frag": "example.com/path",
+        "http://example.com/path/": "example.com/path",
+        "example.com/path": "example.com/path",
+        "https://sub.example.com//": "sub.example.com",
+        "  HTTPS://WWW.A.IO/x  ": "a.io/x",
+        "https://wwwx.io/y": "wwwx.io/y",   # only a literal "www." strips
+    }
+    df = spark.createDataFrame(list(cases.items()), ["raw", "want"])
+    for r in df.select("want", canonical_url(F.col("raw")).alias("got")).collect():
+        assert r["got"] == r["want"]
