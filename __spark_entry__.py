@@ -900,6 +900,33 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_boilerplate_spans(spark, sf_dir):
+    """Cross-document span-level boilerplate stats (C4-style): per doc, the
+    fraction of word-3-gram spans appearing in >= 2 distinct documents.
+    Gram-keyed shuffles with map-side combine; hot grams fan out once per
+    containing doc (instances pre-collapsed), never per occurrence."""
+    from document_extraction_spark.operators.quality_signals import (
+        boilerplate_span_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return boilerplate_span_stats(d, n=3, min_df=2).orderBy("doc_id")
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Data-mixture weighting: downsample each source to a token budget with
+    an in-plan fraction (exact integer token totals -> broadcast hex
+    thresholds -> map-only md5-keyed keep predicate). Budgeted sources
+    shrink deterministically; unlisted sources pass through whole."""
+    from document_extraction_spark.operators.mixing import sample_to_token_budget
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    out = sample_to_token_budget(
+        d, {"src0": 700, "src1": 400, "src2": 1_000_000}
+    )
+    return out.select("doc_id", "source", "n_tok").orderBy("doc_id")
+
+
 def q_stats_aggs(spark, sf_dir):
     """Statistical aggregates: stddev/variance/correlation/covariance per
     return flag.  Every metric is `round(...) + 0.0`: IEEE `-0.0 + 0.0 =
@@ -1411,6 +1438,74 @@ def x_stream_dedup(spark, sf_dir):
     )
 
 
+def x_stream_sessions(spark, sf_dir):
+    """Event-time session windows per conversation (F.session_window,
+    dynamic gap, watermark-bounded state), drained availableNow. Gap-split
+    semantics pytest-pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from document_extraction_spark.sources.transcripts import write_transcripts_parquet
+    from document_extraction_spark.streaming.extract_stream import (
+        conversation_sessions,
+        read_transcript_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="dex_sess_src_")
+    write_transcripts_parquet(src, n_convs=6, seed=53, rows_per_file=40)
+    q = (
+        conversation_sessions(read_transcript_stream(spark, src), gap="5 seconds")
+        .writeStream.format("memory")
+        .queryName("x_stream_sessions_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("x_stream_sessions_t")
+        .select(
+            "conv_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_turns",
+            "chars_in",
+        )
+        .orderBy("conv_id", "sess_start")
+    )
+
+
+def x_stream_join(spark, sf_dir):
+    """Stream-stream inner join with event-time range bounds (watermarked
+    both sides so join state expires): user turns paired with tool turns of
+    the same conversation within the lag window."""
+    import tempfile
+
+    from document_extraction_spark.sources.transcripts import write_transcripts_parquet
+    from document_extraction_spark.streaming.extract_stream import (
+        read_transcript_stream,
+        tool_response_join,
+    )
+
+    src = tempfile.mkdtemp(prefix="dex_ssj_src_")
+    write_transcripts_parquet(src, n_convs=8, seed=59, rows_per_file=40)
+    joined = tool_response_join(
+        read_transcript_stream(spark, src),
+        read_transcript_stream(spark, src),
+        max_lag="10 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("x_stream_join_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("x_stream_join_t").orderBy(
+        "conv_id", "user_turn", "tool_turn"
+    )
+
+
 def x_synth_source(spark, sf_dir):
     """Custom Python DataSource (Spark 4 DataSource API): the transcripts
     synthesizer as an executor-side Arrow-batched source — scan parallelism
@@ -1474,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_windowed_rates": x_stream_windowed_rates,
         "x_stream_conv_stats": x_stream_conv_stats,
         "x_stream_dedup": x_stream_dedup,
+        "x_stream_sessions": x_stream_sessions,
+        "x_stream_join": x_stream_join,
         "x_synth_source": x_synth_source,
         # -- (b) fixed / new this round
         "q_stats_aggs": q_stats_aggs,
@@ -1488,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_bm25_topk": q_bm25_topk,
         "q_url_dedup": q_url_dedup,
+        "q_boilerplate_spans": q_boilerplate_spans,
+        "q_token_budget_mix": q_token_budget_mix,
         # -- (c) rotation of green entries, one-plus per operator category
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_structured_extract": q_structured_extract,
@@ -1498,12 +1597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_near_dup_clusters": q_near_dup_clusters,
         "q_simhash": q_simhash,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_ann_topk": q_ann_topk,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "x_srp_near_dup": x_srp_near_dup,
-        "q_tfidf_top_terms": q_tfidf_top_terms,
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_tfidf_top_terms": q_tfidf_top_terms,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "x_srp_near_dup": x_srp_near_dup,
         "q_pii_scrub": q_pii_scrub,
         "q_doc_token_stats": q_doc_token_stats,
         "q_doc_quality": q_doc_quality,
@@ -2197,6 +2296,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT {TS.SQL_CANONICAL_URL.format(c='url')} AS canonical,
                    count(*)::BIGINT AS n_dupes, min(doc_id) AS keep_id
             FROM urls GROUP BY 1 ORDER BY 1
+        """,
+        "q_boilerplate_spans": f"""
+            WITH base AS (
+              SELECT doc_id, {TS.SQL_TOKENS.format(c='lower(text)')} AS t
+              FROM documents WHERE doc_id < 300),
+            grams AS (
+              SELECT doc_id, unnest({TS.sql_word_ngrams('t', 3)}) AS gram
+              FROM base),
+            per_doc AS (
+              SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+            flagged AS (
+              SELECT gram FROM per_doc GROUP BY gram HAVING count(*) >= 2),
+            boiler AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_boilerplate
+              FROM per_doc SEMI JOIN flagged USING (gram)
+              GROUP BY 1),
+            spans AS (
+              SELECT doc_id, greatest(len(t) - 2, 0)::BIGINT AS n_spans FROM base)
+            SELECT s.doc_id, s.n_spans,
+                   coalesce(b.n_boilerplate, 0)::BIGINT AS n_boilerplate,
+                   round(coalesce(b.n_boilerplate, 0)::DOUBLE
+                         / greatest(s.n_spans, 1)::DOUBLE, 4) AS boilerplate_frac
+            FROM spans s LEFT JOIN boiler b USING (doc_id)
+            ORDER BY s.doc_id
+        """,
+        "q_token_budget_mix": f"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     {TS.SQL_TOKEN_COUNT.format(c='text')}::BIGINT AS n_tok
+              FROM documents WHERE doc_id < 250),
+            budgets(bsource, budget) AS (
+              VALUES ('src0', 700), ('src1', 400), ('src2', 1000000)),
+            thr AS (
+              SELECT source,
+                     CASE WHEN budget IS NULL THEN 1.0
+                          ELSE least(1.0, budget::DOUBLE / total_tok::DOUBLE)
+                     END AS frac,
+                     lpad(lower(to_hex(CAST(round(frac * 4294967296.0) AS BIGINT))),
+                          8, '0') AS thr
+              FROM (SELECT source, sum(n_tok)::BIGINT AS total_tok
+                    FROM base GROUP BY 1)
+              LEFT JOIN budgets ON source = bsource)
+            SELECT base.doc_id, base.source, base.n_tok
+            FROM base JOIN thr USING (source)
+            WHERE frac >= 1.0
+               OR substr(md5('mix' || base.doc_id::VARCHAR), 1, 8) < thr.thr
+            ORDER BY base.doc_id
         """,
         "q_window_range_frame": """
             SELECT o_custkey, o_orderkey,

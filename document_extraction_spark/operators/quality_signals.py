@@ -47,6 +47,68 @@ def _top_gram_frac(base: DataFrame, n: int, out: str) -> DataFrame:
     )
 
 
+def boilerplate_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document span-level boilerplate detection (the C4 move —
+    Raffel et al. 2020 drop any three-sentence span occurring more than
+    once; here the span unit is a word n-gram because the transcript corpus
+    has no sentence boundaries): per document, how many of its n-gram spans
+    appear in >= ``min_df`` distinct documents.
+
+    Returns (doc_id, n_spans, n_boilerplate, boilerplate_frac).
+
+    Plan shape at 100 TB:
+
+    * per-doc distinct grams feed the document-frequency count — ONE shuffle
+      keyed by gram with map-side combine; the hottest grams are exactly the
+      boilerplate, which partial aggregation compresses best.
+    * per-doc instance counts collapse to (doc_id, gram, c) BEFORE joining
+      the flagged-gram set, so a hot boilerplate gram fans out once per
+      containing document, never once per occurrence.
+    * total span count per doc is map-only (size of the gram array).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("t")
+    )
+    grams = base.select(
+        "doc_id", F.explode(word_ngrams(F.col("t"), n)).alias("gram")
+    )
+    per_doc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    flagged = (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    boiler = (
+        per_doc.join(flagged, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_boilerplate"))
+    )
+    spans = base.select(
+        "doc_id",
+        F.greatest(F.size("t") - (n - 1), F.lit(0)).cast("long").alias("n_spans"),
+    )
+    return (
+        spans.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_boilerplate", F.lit(0)).cast("long").alias("n_boilerplate"),
+            F.round(
+                F.coalesce("n_boilerplate", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_spans"), F.lit(1)).cast("double"),
+                4,
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
 def repetition_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

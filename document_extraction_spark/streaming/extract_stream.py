@@ -79,6 +79,55 @@ def dedup_stream(sdf: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def conversation_sessions(sdf: DataFrame, gap: str = "5 seconds",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Event-time session windows per conversation: turns closer than
+    ``gap`` merge into one session (``F.session_window`` — Spark's native
+    dynamic-gap window, state bounded by the watermark horizon). The
+    streaming analogue of the batch sessionization in q_events_sessions;
+    emits (conv_id, session start/end, n_turns, chars_in)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text").cast("long")).alias("chars_in"),
+        )
+    )
+
+
+def tool_response_join(turns: DataFrame, responses: DataFrame,
+                       max_lag: str = "10 seconds",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    user turn pairs with tool turns of the same conversation arriving
+    within ``max_lag`` after it. Both sides carry watermarks and the join
+    condition bounds event time on both sides, so Spark can expire join
+    state — the requirement that makes stream-stream joins feasible at
+    unbounded input (unbounded state otherwise)."""
+    left = (
+        turns.filter(F.col("role") == "user")
+        .select("conv_id", F.col("turn_idx").alias("user_turn"),
+                F.col("ts").alias("user_ts"))
+        .withWatermark("user_ts", watermark)
+    )
+    right = (
+        responses.filter(F.col("role") == "tool")
+        .select(F.col("conv_id").alias("conv_id_r"), "tool",
+                F.col("turn_idx").alias("tool_turn"),
+                F.col("ts").alias("tool_ts"))
+        .withWatermark("tool_ts", watermark)
+    )
+    cond = (
+        (left["conv_id"] == right["conv_id_r"])
+        & (right["tool_ts"] >= left["user_ts"])
+        & (right["tool_ts"] <= left["user_ts"] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return left.join(right, cond, "inner").select(
+        "conv_id", "user_turn", "tool_turn", "tool", "user_ts", "tool_ts"
+    )
+
+
 def turn_rate_by_window(sdf: DataFrame, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window turn metrics by role — late turns beyond

@@ -115,6 +115,66 @@ def test_bm25_query_casefold_and_k(spark):
     assert [r["doc_id"] for r in rows] == [0]
 
 
+def test_boilerplate_span_stats(spark):
+    from document_extraction_spark.operators.quality_signals import (
+        boilerplate_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x y z a"),                # spans: "x y z"(shared), "y z a"
+            (1, "b x y z"),                # spans: "b x y", "x y z"(shared)
+            (2, "p q r s"),                # clean
+            (3, "x y z x y z x y z"),      # "x y z" 3x; "y z x"/"z x y" df=1
+            (4, "m n"),                    # too short: zero spans
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_span_stats(docs, n=3, min_df=2).collect()
+    }
+    assert (got[0]["n_spans"], got[0]["n_boilerplate"]) == (2, 1)
+    assert got[0]["boilerplate_frac"] == 0.5
+    assert (got[1]["n_spans"], got[1]["n_boilerplate"]) == (2, 1)
+    assert (got[2]["n_spans"], got[2]["n_boilerplate"]) == (2, 0)
+    # instances counted, but only grams shared across >=2 DOCS flag
+    assert (got[3]["n_spans"], got[3]["n_boilerplate"]) == (7, 3)
+    assert (got[4]["n_spans"], got[4]["n_boilerplate"]) == (0, 0)
+    assert got[4]["boilerplate_frac"] == 0.0
+
+
+def test_sample_to_token_budget(spark):
+    from document_extraction_spark.operators.mixing import (
+        mixture_summary,
+        sample_to_token_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(40)]
+        + [(100 + i, "w " * 10, "b") for i in range(5)],
+        ["doc_id", "text", "source"],
+    )
+    # a: 400 tokens total, budget 100 -> frac 0.25; b: no budget -> whole
+    out = sample_to_token_budget(docs, {"a": 100}).collect()
+    kept_a = [r["doc_id"] for r in out if r["source"] == "a"]
+    kept_b = [r["doc_id"] for r in out if r["source"] == "b"]
+    assert sorted(kept_b) == [100, 101, 102, 103, 104]
+    assert 0 < len(kept_a) < 40
+    # deterministic: identical draw on re-run
+    out2 = sample_to_token_budget(docs, {"a": 100}).collect()
+    assert sorted(r["doc_id"] for r in out2) == sorted(r["doc_id"] for r in out)
+    # budget >= total keeps everything (frac-1 short-circuit, no lpad trap)
+    assert len(sample_to_token_budget(docs, {"a": 10_000}).collect()) == 45
+    summ = {
+        r["source"]: r for r in mixture_summary(
+            sample_to_token_budget(docs, {"a": 100})
+        ).collect()
+    }
+    assert summ["a"]["tokens_kept"] == 10 * len(kept_a)
+    assert summ["b"]["n_docs"] == 5
+
+
 def test_canonical_url(spark):
     cases = {
         "https://www.Example.com/Path/?utm=x#frag": "example.com/path",

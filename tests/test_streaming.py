@@ -109,6 +109,86 @@ def test_stateful_conversation_stats(spark, stream_src, tmp_path):
         assert got[conv_id]["max_turn_idx"] == row["mx"], conv_id
 
 
+def _write_turns(spark, path, rows):
+    """rows: (conv_id, turn_idx, role, text, tool, ts_offset_seconds)."""
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    data = [
+        (c, i, r, x, tool, t0 + datetime.timedelta(seconds=off))
+        for (c, i, r, x, tool, off) in rows
+    ]
+    spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_session_windows_split_on_gap(spark, tmp_path):
+    """Turns closer than the gap merge into one session; a quiet period
+    longer than the gap starts a new one."""
+    src = str(tmp_path / "sess_src")
+    _write_turns(spark, src, [
+        ("A", 0, "user", "t", None, 0),
+        ("A", 1, "assistant", "t", None, 1),
+        ("A", 2, "user", "t", None, 2),
+        ("A", 3, "user", "t", None, 60),     # > 5s gap -> new session
+        ("A", 4, "assistant", "t", None, 61),
+        ("B", 0, "user", "t", None, 0),
+    ])
+    agg = XS.conversation_sessions(XS.read_transcript_stream(spark, src),
+                                   gap="5 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        spark.table("sessions_t").collect(),
+        key=lambda r: (r["conv_id"], r["sess"]["start"]),
+    )
+    assert [(r["conv_id"], r["n_turns"]) for r in rows] == [
+        ("A", 3), ("A", 2), ("B", 1),
+    ]
+    # session end = last event + gap
+    a1 = rows[0]
+    assert (a1["sess"]["end"] - a1["sess"]["start"]).total_seconds() == 2 + 5
+
+
+def test_stream_stream_tool_join(spark, tmp_path):
+    """Inner stream-stream join with event-time bounds: tool turns pair with
+    the user turn they follow within max_lag, same conversation only."""
+    src = str(tmp_path / "ssj_src")
+    _write_turns(spark, src, [
+        ("A", 0, "user", "q1", None, 0),
+        ("A", 1, "tool", "r1", "search", 5),    # within 10s of A/0 -> pair
+        ("A", 2, "user", "q2", None, 20),
+        ("A", 3, "tool", "r2", "calc", 40),     # 20s after A/2 -> no pair
+        ("B", 0, "tool", "r3", "search", 1),    # no user turn in B
+    ])
+    joined = XS.tool_response_join(
+        XS.read_transcript_stream(spark, src),
+        XS.read_transcript_stream(spark, src),
+        max_lag="10 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table("ssj_t").collect()
+    assert [(r["conv_id"], r["user_turn"], r["tool_turn"], r["tool"])
+            for r in rows] == [("A", 0, 1, "search")]
+
+
 def test_streaming_dedup_within_watermark(spark, stream_src, tmp_path):
     """Duplicate (conv_id, turn_idx) deliveries inside the watermark horizon
     collapse to one row — the at-least-once-source companion to the sink's
