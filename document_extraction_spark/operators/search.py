@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from document_extraction_spark.functions.textstats import tokens
+from document_extraction_spark.functions.textstats import token_count, tokens
 
 
 def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -70,8 +70,12 @@ def bm25_topk(
     (doc_id, score). Deterministic order: rounded score desc, doc_id asc —
     rounding BEFORE ordering keeps the ranking engine-stable."""
     terms = _doc_terms(docs, id_col, text_col)
-    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl_raw"))
-    dl = dl.select("doc_id", F.col("dl_raw").cast("double").alias("dl"), "dl_raw")
+    # document length is MAP-ONLY (array size), not explode+groupBy — at
+    # corpus scale the per-doc length must never cost a token-wide shuffle
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.lower(F.col(text_col))).alias("dl_raw"),
+    )
     # avgdl from an exact integer sum (not avg-of-doubles) so the scalar is
     # bit-identical regardless of aggregation order / engine
     stats = dl.agg(
@@ -101,7 +105,11 @@ def bm25_topk(
             F.col("idf")
             * F.col("tf")
             * (k1 + 1.0)
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+            / (
+                F.col("tf")
+                + k1
+                * (1.0 - b + b * F.col("dl_raw").cast("double") / F.col("avgdl"))
+            ),
         )
     )
     return (
