@@ -77,6 +77,8 @@ def main() -> int:
         "q_curation_pipeline",      # composed path users actually run (round 3)
         "q_asof_join",              # temporal joins in the tracker (round 3)
         "q_range_join",
+        "q_decontaminate",          # curation additions (round 3)
+        "q_token_budget_mix",
     ]
 
     def best_of(fn, runs: int = 3) -> float:

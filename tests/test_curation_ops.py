@@ -175,6 +175,36 @@ def test_sample_to_token_budget(spark):
     assert summ["b"]["n_docs"] == 5
 
 
+def test_resample_with_gaps(spark):
+    import datetime
+
+    from document_extraction_spark.operators.timeseries import resample_with_gaps
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 10)
+
+    def at(**kw):
+        return t0 + datetime.timedelta(**kw)
+
+    df = spark.createDataFrame(
+        [
+            ("u1", t0, 5.0),
+            ("u1", at(minutes=20), 3.0),
+            ("u1", at(hours=3), 2.0),   # hours 1 and 2 are gaps
+            ("u2", t0, 1.0),
+        ],
+        "key string, ts timestamp, v double",
+    )
+    out = resample_with_gaps(df, "key", "ts", "v", "1 hour")
+    rows = sorted(out.collect(), key=lambda r: (r["key"], r["bucket"]))
+    u1 = [(r["n_events"], r["sum_value"]) for r in rows if r["key"] == "u1"]
+    assert u1 == [(2, 8.0), (0, 0.0), (0, 0.0), (1, 2.0)]
+    u2 = [(r["n_events"], r["sum_value"]) for r in rows if r["key"] == "u2"]
+    assert u2 == [(1, 1.0)]
+    # span cap drops oversized keys explicitly
+    capped = resample_with_gaps(df, "key", "ts", "v", "1 hour", max_buckets=3)
+    assert {r["key"] for r in capped.collect()} == {"u2"}
+
+
 def test_canonical_url(spark):
     cases = {
         "https://www.Example.com/Path/?utm=x#frag": "example.com/path",
