@@ -927,6 +927,26 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", "n_tok").orderBy("doc_id")
 
 
+def q_variant_shred(spark, sf_dir):
+    """VARIANT semi-structured type (Spark 4): parse the JSON props payload
+    once into VARIANT, shred typed fields out with variant_get /
+    try_variant_get (missing path -> NULL, never error) — the
+    open-schema ingestion path for payloads whose shape isn't known at
+    write time."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.absent", "string").alias("absent"),
+        )
+        .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("long"))
+        .orderBy("event_id")
+    )
+
+
 def q_exists_urgent(spark, sf_dir):
     """Correlated EXISTS subquery (Spark SQL decorrelates to a left-semi
     join): customers holding at least one URGENT order above a price
@@ -1579,6 +1599,54 @@ def x_stream_join(spark, sf_dir):
     )
 
 
+def x_synth_stream(spark, sf_dir):
+    """Streaming custom Python DataSource (DataSourceStreamReader): offsets
+    advance by partitions_per_trigger per micro-batch, per-offset data is
+    byte-deterministic (checkpoint replay safe). Drained with fast triggers
+    until the fixed partition inventory is exhausted; equality with the
+    batch source is pytest-pinned in test_synthsource."""
+    import time
+
+    from document_extraction_spark.sources.synthsource import register_synth_source
+
+    register_synth_source(spark)
+    sdf = (
+        spark.readStream.format("transcripts_synth")
+        .option("n_partitions", 4)
+        .option("partitions_per_trigger", 2)
+        .option("convs_per_partition", 10)
+        .option("seed", 13)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("x_synth_stream_t")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    expected = (
+        spark.read.format("transcripts_synth")
+        .option("n_partitions", 4)
+        .option("convs_per_partition", 10)
+        .option("seed", 13)
+        .load()
+        .count()
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if spark.table("x_synth_stream_t").count() >= expected:
+            break
+        time.sleep(1)
+    q.stop()
+    return (
+        spark.table("x_synth_stream_t")
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .orderBy("role")
+    )
+
+
 def x_synth_source(spark, sf_dir):
     """Custom Python DataSource (Spark 4 DataSource API): the transcripts
     synthesizer as an executor-side Arrow-batched source — scan parallelism
@@ -1634,9 +1702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_resize": lambda spark, sf_dir: MM.resize_images(
             MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
         ).orderBy("media_id"),
-        "x_media_frames": lambda spark, sf_dir: MM.sample_frames(
-            MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
-        ).orderBy("media_id", "frame_idx"),
         "x_streaming_extract": x_streaming_extract,
         "x_binary_extract": x_binary_extract,
         "x_stream_windowed_rates": x_stream_windowed_rates,
@@ -1645,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_sessions": x_stream_sessions,
         "x_stream_join": x_stream_join,
         "x_synth_source": x_synth_source,
+        "x_synth_stream": x_synth_stream,
         # -- (b) fixed / new this round
         "q_stats_aggs": q_stats_aggs,
         "q_structured_nested": q_structured_nested,
@@ -1661,17 +1727,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_spans": q_boilerplate_spans,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
+        "q_variant_shred": q_variant_shred,
         "q_exists_urgent": q_exists_urgent,
         "q_lateral_latest_order": q_lateral_latest_order,
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_curation_pipeline": q_curation_pipeline,
-        "q_exact_dedup": q_exact_dedup,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_near_dup_clusters": q_near_dup_clusters,
         # ------------- driver 50-entry window ends here (position 50) --------
+        "x_media_frames": lambda spark, sf_dir: MM.sample_frames(
+            MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
+        ).orderBy("media_id", "frame_idx"),
+        "q_exact_dedup": q_exact_dedup,
         "q_structured_extract": q_structured_extract,
         "q_split_oversized": q_split_oversized,
         "q_simhash": q_simhash,
@@ -2420,6 +2490,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE frac >= 1.0
                OR substr(md5('mix' || base.doc_id::VARCHAR), 1, 8) < thr.thr
             ORDER BY base.doc_id
+        """,
+        "q_variant_shred": """
+            SELECT event_id, event_type,
+                   json_extract(props, '$.k')::INT AS k,
+                   json_extract_string(props, '$.absent') AS absent,
+                   CAST(floor(json_extract(props, '$.k')::INT / 10) AS BIGINT) AS k_bucket
+            FROM events WHERE event_id < 500
+            ORDER BY event_id
         """,
         "q_exists_urgent": """
             SELECT c_custkey, c_name

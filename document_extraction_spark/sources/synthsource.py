@@ -25,7 +25,12 @@ DataSource API — no per-row Python marshalling).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, "
@@ -44,6 +49,9 @@ class TranscriptsSynthDataSource(DataSource):
     def reader(self, schema) -> "TranscriptsSynthReader":
         return TranscriptsSynthReader(self.options)
 
+    def streamReader(self, schema) -> "TranscriptsSynthStreamReader":
+        return TranscriptsSynthStreamReader(self.options)
+
 
 class TranscriptsSynthReader(DataSourceReader):
     def __init__(self, options: dict):
@@ -59,27 +67,69 @@ class TranscriptsSynthReader(DataSourceReader):
     def read(self, partition: InputPartition):
         # executor-side: generate this partition's conversations and stream
         # them back as Arrow batches
-        import pyarrow as pa
-
-        from document_extraction_spark.sources.transcripts import (
-            generate_partition_pdf,
-        )
-
-        pdf = generate_partition_pdf(
+        yield from _partition_batches(
             partition.value, self.convs_per_partition, self.seed
         )
-        schema = pa.schema(
-            [
-                pa.field("conv_id", pa.string()),
-                pa.field("turn_idx", pa.int32()),
-                pa.field("role", pa.string()),
-                pa.field("text", pa.string()),
-                pa.field("tool", pa.string()),
-                pa.field("ts", pa.timestamp("us")),
-            ]
+
+
+def _partition_batches(partition_id: int, convs_per_partition: int, seed: int):
+    """Executor-side generation shared by the batch and stream readers."""
+    import pyarrow as pa
+
+    from document_extraction_spark.sources.transcripts import generate_partition_pdf
+
+    pdf = generate_partition_pdf(partition_id, convs_per_partition, seed)
+    schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string()),
+            pa.field("turn_idx", pa.int32()),
+            pa.field("role", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("tool", pa.string()),
+            pa.field("ts", pa.timestamp("us")),
+        ]
+    )
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    yield from table.to_batches(max_chunksize=8192)
+
+
+class TranscriptsSynthStreamReader(DataSourceStreamReader):
+    """Streaming flavor of the synthetic transcripts source (Spark 4
+    DataSourceStreamReader): the offset is a generated-partition index, each
+    trigger advances it by ``partitions_per_trigger``, and the per-offset
+    data is byte-deterministic — so a query restart from checkpoint replays
+    identical rows (the property the exactly-once sink test relies on).
+
+    The executor-parallel reader (not SimpleDataSourceStreamReader) is the
+    scale path: ``partitions(start, end)`` hands one InputPartition per
+    generated partition id, read on the executors as Arrow batches."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("n_partitions", 8))
+        self.per_trigger = int(options.get("partitions_per_trigger", 2))
+        self.convs_per_partition = int(options.get("convs_per_partition", 50))
+        self.seed = int(options.get("seed", 7))
+        if self.total < 1 or self.per_trigger < 1:
+            raise ValueError("n_partitions and partitions_per_trigger must be >= 1")
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(self._latest + self.per_trigger, self.total)
+        return {"index": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        return [InputPartition(i) for i in range(start["index"], end["index"])]
+
+    def read(self, partition: InputPartition):
+        yield from _partition_batches(
+            partition.value, self.convs_per_partition, self.seed
         )
-        table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-        yield from table.to_batches(max_chunksize=8192)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register_synth_source(spark) -> None:

@@ -189,6 +189,49 @@ def test_stream_stream_tool_join(spark, tmp_path):
             for r in rows] == [("A", 0, 1, "search")]
 
 
+def test_transform_with_state_conversation_progress(spark, stream_src, tmp_path):
+    """Spark 4 StatefulProcessor API: per-conversation progress with
+    composite state (ValueState counts + MapState role set). Skips where
+    protobuf (required by the TWS state protocol) is absent — this sandbox
+    ships pyspark without it."""
+    pytest.importorskip("google.protobuf")
+    from document_extraction_spark.streaming.stateful import (
+        conversation_progress_stream,
+    )
+
+    src, _ = stream_src
+    sdf = XS.read_transcript_stream(spark, src)
+    q = (
+        conversation_progress_stream(sdf)
+        .writeStream.format("memory")
+        .queryName("convprog")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import pandas as pd
+
+    got = (
+        spark.sql("SELECT * FROM convprog")
+        .toPandas()
+        .sort_values("n_turns")
+        .groupby("conv_id")
+        .last()  # update mode may emit once per micro-batch; keep the final
+    )
+    src_pdf = spark.read.parquet(src).toPandas()
+    exp = src_pdf.groupby("conv_id").agg(
+        n=("turn_idx", "size"),
+        mx=("turn_idx", "max"),
+        roles=("role", pd.Series.nunique),
+    )
+    for conv_id, row in exp.iterrows():
+        assert got.loc[conv_id, "n_turns"] == row["n"], conv_id
+        assert got.loc[conv_id, "last_turn_idx"] == row["mx"], conv_id
+        assert got.loc[conv_id, "distinct_roles"] == row["roles"], conv_id
+
+
 def test_streaming_dedup_within_watermark(spark, stream_src, tmp_path):
     """Duplicate (conv_id, turn_idx) deliveries inside the watermark horizon
     collapse to one row — the at-least-once-source companion to the sink's

@@ -65,3 +65,44 @@ def test_synth_source_feeds_extraction(spark, synth):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r["text"] is not None for r in rows)
+
+
+def test_synth_stream_source_drains_deterministically(spark, synth, tmp_path):
+    """Streaming flavor of the custom Python data source: offsets advance by
+    partitions_per_trigger per micro-batch; the drained stream equals the
+    batch read of the same (seed, partitions) exactly."""
+    import time
+
+    sdf = (
+        spark.readStream.format("transcripts_synth")
+        .option("n_partitions", 4)
+        .option("partitions_per_trigger", 2)
+        .option("convs_per_partition", 10)
+        .option("seed", 7)
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("synth_stream_drain")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_synth"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    batch = synth(n_partitions=4, convs_per_partition=10, seed=7)
+    expected = batch.count()
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if spark.table("synth_stream_drain").count() >= expected:
+            break
+        time.sleep(1)
+    q.stop()
+    got = spark.table("synth_stream_drain")
+    assert got.count() == expected
+    # keyed equality with the batch source (same generator, same bytes)
+    assert (
+        got.select("conv_id", "turn_idx", "text")
+        .exceptAll(batch.select("conv_id", "turn_idx", "text"))
+        .count()
+        == 0
+    )
