@@ -927,6 +927,31 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", "n_tok").orderBy("doc_id")
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance matching (entity-resolution shape): pairs
+    sharing a leading-token block whose 60-char-prefix Levenshtein distance
+    is small. Equi-join blocking keeps the quadratic cost inside blocks;
+    oversized blocks are dropped explicitly."""
+    from document_extraction_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return blocked_levenshtein_pairs(d, max_distance=20).orderBy("doc_a", "doc_b")
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-class embedding centroid, one row per (label, dimension): the
+    embedding-analytics building block (class prototypes / IVF seeding).
+    posexplode -> one (label, pos)-keyed shuffle with map-side combine."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias("c"))
+        .select("label", F.col("pos").cast("long").alias("pos"), "c")
+        .orderBy("label", "pos")
+    )
+
+
 def q_variant_shred(spark, sf_dir):
     """VARIANT semi-structured type (Spark 4): parse the JSON props payload
     once into VARIANT, shred typed fields out with variant_get /
@@ -1727,17 +1752,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_spans": q_boilerplate_spans,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
+        "q_fuzzy_pairs": q_fuzzy_pairs,
+        "q_embedding_centroids": q_embedding_centroids,
         "q_variant_shred": q_variant_shred,
         "q_exists_urgent": q_exists_urgent,
         "q_lateral_latest_order": q_lateral_latest_order,
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
-        "q_extract_plain_docs": q_extract_plain_docs,
         "q_curation_pipeline": q_curation_pipeline,
-        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_near_dup_clusters": q_near_dup_clusters,
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_extract_plain_docs": q_extract_plain_docs,
+        "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "x_media_frames": lambda spark, sf_dir: MM.sample_frames(
             MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
         ).orderBy("media_id", "frame_idx"),
@@ -2490,6 +2517,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE frac >= 1.0
                OR substr(md5('mix' || base.doc_id::VARCHAR), 1, 8) < thr.thr
             ORDER BY base.doc_id
+        """,
+        "q_fuzzy_pairs": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(
+                         {TS.SQL_TOKENS.format(c='lower(text)')}, 1, 2), ' ') AS block,
+                     substr(text, 1, 60) AS prefix
+              FROM documents),
+            sizes AS (SELECT block, count(*) AS bs FROM base GROUP BY 1),
+            bounded AS (
+              SELECT base.* FROM base JOIN sizes USING (block) WHERE bs <= 1000)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.prefix, b.prefix)::BIGINT AS dist
+            FROM bounded a JOIN bounded b USING (block)
+            WHERE a.doc_id < b.doc_id
+              AND levenshtein(a.prefix, b.prefix) <= 20
+            ORDER BY doc_a, doc_b
+        """,
+        "q_embedding_centroids": """
+            WITH ex AS (
+              SELECT label, unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) - 1 AS pos
+              FROM embeddings)
+            SELECT label, pos::BIGINT AS pos, round(avg(val::DOUBLE), 4) + 0.0 AS c
+            FROM ex GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_variant_shred": """
             SELECT event_id, event_type,

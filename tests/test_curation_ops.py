@@ -205,6 +205,30 @@ def test_resample_with_gaps(spark):
     assert {r["key"] for r in capped.collect()} == {"u2"}
 
 
+def test_blocked_levenshtein_pairs(spark):
+    from document_extraction_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delte"),      # 1 edit from doc 0
+            (2, "alpha beta zzzzzzzzzzzzzzzz"), # same block, far
+            (3, "other words entirely here"),   # different block
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["dist"]
+           for r in blocked_levenshtein_pairs(docs, max_distance=3).collect()}
+    assert got == {(0, 1): 1}
+    # distance threshold is inclusive and blocking is a hard boundary
+    wide = {(r["doc_a"], r["doc_b"])
+            for r in blocked_levenshtein_pairs(docs, max_distance=60).collect()}
+    assert (0, 2) in wide and (1, 2) in wide and not any(3 in p for p in wide)
+    # oversized blocks drop entirely
+    capped = blocked_levenshtein_pairs(docs, max_distance=60, max_block_size=2)
+    assert capped.count() == 0
+
+
 def test_canonical_url(spark):
     cases = {
         "https://www.Example.com/Path/?utm=x#frag": "example.com/path",
