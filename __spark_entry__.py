@@ -927,6 +927,31 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", "n_tok").orderBy("doc_id")
 
 
+def q_corpus_profile(spark, sf_dir):
+    """One-pass corpus profiling (the dataset-card numbers): doc count,
+    token volume, exact token-count percentiles, language spread, and the
+    exact-duplicate fraction — a single aggregation over map-only derived
+    columns (fingerprint, token count)."""
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        TS.token_count(F.col("text")).alias("n_tok"),
+        TS.fingerprint(F.col("text")).alias("fp"),
+        "lang",
+    )
+    return rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.expr("percentile(n_tok, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_tok, 0.9)").alias("p90_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("fp").cast("double") / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_frac"),
+    )
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Blocked edit-distance matching (entity-resolution shape): pairs
     sharing a leading-token block whose 60-char-prefix Levenshtein distance
@@ -1752,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_spans": q_boilerplate_spans,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
+        "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_embedding_centroids": q_embedding_centroids,
         "q_variant_shred": q_variant_shred,
@@ -1759,10 +1785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lateral_latest_order": q_lateral_latest_order,
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
-        "q_curation_pipeline": q_curation_pipeline,
         "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_near_dup_clusters": q_near_dup_clusters,
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_curation_pipeline": q_curation_pipeline,
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "x_media_frames": lambda spark, sf_dir: MM.sample_frames(
@@ -2517,6 +2543,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE frac >= 1.0
                OR substr(md5('mix' || base.doc_id::VARCHAR), 1, 8) < thr.thr
             ORDER BY base.doc_id
+        """,
+        "q_corpus_profile": f"""
+            WITH rows AS (
+              SELECT {TS.SQL_TOKEN_COUNT.format(c='text')}::BIGINT AS n_tok,
+                     {TS.SQL_FINGERPRINT.format(c='text')} AS fp,
+                     lang
+              FROM documents)
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS total_tokens,
+                   quantile_cont(n_tok, 0.5) AS p50_tokens,
+                   quantile_cont(n_tok, 0.9) AS p90_tokens,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   round(1.0 - count(DISTINCT fp)::DOUBLE / count(*)::DOUBLE, 4)
+                       AS dup_frac
+            FROM rows
         """,
         "q_fuzzy_pairs": f"""
             WITH base AS (

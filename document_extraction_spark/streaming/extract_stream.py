@@ -66,6 +66,38 @@ def run_extract_stream(
     return writer.start()
 
 
+def run_extract_stream_upsert(
+    spark: SparkSession,
+    src_dir: str,
+    table_root: str,
+    table_name: str,
+    ckpt_dir: str,
+):
+    """Streaming extraction into a keyed table via ``foreachBatch`` +
+    TableIO MERGE upsert: re-delivered (conv_id, turn_idx) rows REPLACE
+    their previous version instead of appending a duplicate — the
+    arbitrary-sink pattern for targets the streaming file sink can't express
+    (MERGE, JDBC, multi-table writes). Each micro-batch runs one idempotent
+    upsert keyed on (conv_id, turn_idx); Structured Streaming's checkpoint
+    makes batch replay after a crash re-run the same upsert, which the MERGE
+    keys absorb — end-to-end effectively-once."""
+    from document_extraction_spark.sources.tableio import TableIO
+
+    tio = TableIO(spark, table_root)
+    out = extract_stream(read_transcript_stream(spark, src_dir))
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tio.upsert(batch_df, table_name, ["conv_id", "turn_idx"])
+
+    return (
+        out.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(sdf: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exactly-once-per-key dedup: drop re-deliveries of the same
     (conv_id, turn_idx) within the watermark horizon —

@@ -124,6 +124,40 @@ def _write_turns(spark, path, rows):
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
+def test_foreach_batch_upsert_no_duplicates(spark, tmp_path):
+    """foreachBatch + MERGE upsert: a source file re-delivered under a new
+    name (at-least-once source) updates rows in place — the keyed table
+    never holds duplicate (conv_id, turn_idx)."""
+    import os
+    import shutil
+
+    base = str(tmp_path / "base")
+    write_transcripts_parquet(base, n_convs=3, seed=71, rows_per_file=40)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first = sorted(os.listdir(base))[0]
+    shutil.copy(f"{base}/{first}", f"{src}/part-a.parquet")
+
+    root = str(tmp_path / "tables")
+    ckpt = str(tmp_path / "ckpt_fb")
+    q = XS.run_extract_stream_upsert(spark, src, root, "extracted", ckpt)
+    q.awaitTermination(300)
+    n_keys = (
+        spark.read.parquet(f"{src}")
+        .select("conv_id", "turn_idx").distinct().count()
+    )
+    tbl = f"{root}/extracted"
+    assert spark.read.parquet(tbl).count() == n_keys
+
+    # re-deliver the same payload under a new file name -> upsert, not append
+    shutil.copy(f"{base}/{first}", f"{src}/part-b.parquet")
+    q = XS.run_extract_stream_upsert(spark, src, root, "extracted", ckpt)
+    q.awaitTermination(300)
+    out = spark.read.parquet(tbl)
+    assert out.count() == n_keys
+    assert out.select("conv_id", "turn_idx").distinct().count() == n_keys
+
+
 def test_session_windows_split_on_gap(spark, tmp_path):
     """Turns closer than the gap merge into one session; a quiet period
     longer than the gap starts a new one."""
