@@ -43,6 +43,20 @@ def schema_from_example(example) -> T.DataType:
     return _type_of(example)
 
 
+# The reference documents schemas whose LEAF VALUES are type-hint strings —
+# "number", "string", "string (format JJ/MM/AAAA)" (README.md:153-172), not
+# example values. Map that vocabulary to real types; any other string (an
+# actual example value) stays a string.
+_TYPE_HINTS = {
+    "number": T.DoubleType(),
+    "string": T.StringType(),
+    "int": T.LongType(),
+    "integer": T.LongType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+}
+
+
 def _type_of(v) -> T.DataType:
     if isinstance(v, bool):  # bool before int: bool is an int subclass
         return T.BooleanType()
@@ -57,7 +71,12 @@ def _type_of(v) -> T.DataType:
     if isinstance(v, (list, tuple)):
         elem = _type_of(v[0]) if len(v) else T.StringType()
         return T.ArrayType(elem, containsNull=True)
-    return T.StringType()  # str, None, anything else
+    if isinstance(v, str):
+        # reference type-hint vocabulary: first word decides ("string
+        # (format JJ/MM/AAAA)" -> string)
+        head = v.strip().split(" ")[0].split("(")[0].lower()
+        return _TYPE_HINTS.get(head, T.StringType())
+    return T.StringType()  # None, anything else
 
 
 _WS_EDGE = r"^\s+|\s+$"

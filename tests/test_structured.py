@@ -103,3 +103,43 @@ def test_structured_extract_rejects_scalar_schema(spark):
     df = spark.createDataFrame([(0, "{}")], ["doc", "payload"])
     with pytest.raises(ValueError, match="object schema"):
         structured_extract(df, 0, payload_col="payload")
+
+
+def test_reference_readme_type_hint_schema(spark):
+    """The reference's documented schema vocabulary (README.md:153-172):
+    leaf values are type-hint strings like "number" and
+    "string (format JJ/MM/AAAA)" — they must derive real types, and the
+    documented invoice example must round-trip with numeric fields typed."""
+    from pyspark.sql import types as T
+
+    ref_schema = {
+        "numero_facture": "string",
+        "date": "string (format JJ/MM/AAAA)",
+        "client": {"nom": "string", "adresse": "string"},
+        "lignes": [
+            {"description": "string", "quantite": "number", "prix_unitaire": "number"}
+        ],
+        "total_ht": "number",
+        "tva": "number",
+        "total_ttc": "number",
+    }
+    st = schema_from_example(ref_schema)
+    assert isinstance(st["total_ht"].dataType, T.DoubleType)
+    line = st["lignes"].dataType.elementType
+    assert isinstance(line["quantite"].dataType, T.DoubleType)
+    assert isinstance(st["date"].dataType, T.StringType)
+
+    payload = (
+        '{"numero_facture": "FAC-2024-001234", "date": "15/03/2024",'
+        ' "client": {"nom": "Entreprise ABC", "adresse": "123 rue Example"},'
+        ' "lignes": [{"description": "Prestation", "quantite": 5,'
+        ' "prix_unitaire": 500.0}],'
+        ' "total_ht": 2500.0, "tva": 500.0, "total_ttc": 3000.0}'
+    )
+    df = spark.createDataFrame([(0, payload)], ["doc", "payload"])
+    row = structured_extract(df, ref_schema, payload_col="payload").collect()[0]
+    assert row["total_ttc"] == 3000.0
+    assert row["lignes"][0]["quantite"] == 5.0
+    assert row["client"]["nom"] == "Entreprise ABC"
+    # example VALUES (not hints) still map to plain strings
+    assert isinstance(schema_from_example({"x": "Acme"})["x"].dataType, T.StringType)
