@@ -927,6 +927,29 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", "n_tok").orderBy("doc_id")
 
 
+def q_try_arithmetic(spark, sf_dir):
+    """Error-safe expression surface (ANSI-mode hygiene): try_divide gives
+    NULL on division by zero, try_cast gives NULL on malformed input —
+    instead of a job-killing runtime error at row 10^11 of a 10^12-row
+    scan."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return (
+        e.select(
+            "event_id",
+            (
+                F.round(
+                    F.try_divide(F.col("value"), (F.col("event_id") % 3).cast("double")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("per_bucket"),
+            F.col("event_type").try_cast("int").alias("type_as_int"),
+            F.substring("props", 8, 2).try_cast("int").alias("k_prefix"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_corpus_profile(spark, sf_dir):
     """One-pass corpus profiling (the dataset-card numbers): doc count,
     token volume, exact token-count percentiles, language spread, and the
@@ -1777,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_spans": q_boilerplate_spans,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
+        "q_try_arithmetic": q_try_arithmetic,
         "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_embedding_centroids": q_embedding_centroids,
@@ -1785,9 +1809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lateral_latest_order": q_lateral_latest_order,
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
-        "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_near_dup_clusters": q_near_dup_clusters,
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_curation_pipeline": q_curation_pipeline,
         "q_extract_plain_docs": q_extract_plain_docs,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2543,6 +2567,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE frac >= 1.0
                OR substr(md5('mix' || base.doc_id::VARCHAR), 1, 8) < thr.thr
             ORDER BY base.doc_id
+        """,
+        "q_try_arithmetic": """
+            SELECT event_id,
+                   round(value / nullif((event_id % 3)::DOUBLE, 0.0), 4) + 0.0
+                       AS per_bucket,
+                   try_cast(event_type AS INT) AS type_as_int,
+                   try_cast(substr(props, 8, 2) AS INT) AS k_prefix
+            FROM events WHERE event_id < 1000
+            ORDER BY event_id
         """,
         "q_corpus_profile": f"""
             WITH rows AS (
