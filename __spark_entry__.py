@@ -1720,6 +1720,30 @@ def x_synth_stream(spark, sf_dir):
     )
 
 
+def x_hll_sketches(spark, sf_dir):
+    """Mergeable HLL distinct-count sketches (Apache DataSketches aggs):
+    per-source sketches merged into a global estimate WITHOUT re-scanning —
+    the pattern that lets a 100 TB corpus maintain per-partition cardinality
+    sketches and answer global questions by sketch union. Deterministic for
+    a fixed input set; accuracy bound pytest-pinned in test_approx_aggs."""
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("doc_id").cast("string")).alias("sk"),
+        F.countDistinct("doc_id").alias("exact"),
+    )
+    per = per_source.select(
+        "source",
+        F.hll_sketch_estimate("sk").cast("long").alias("est"),
+        "exact",
+    )
+    merged = per_source.agg(
+        F.lit("__all__").alias("source"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est"),
+        F.sum("exact").alias("exact"),  # sources partition doc_ids: sum = global
+    )
+    return per.unionByName(merged).orderBy("source")
+
+
 def x_synth_source(spark, sf_dir):
     """Custom Python DataSource (Spark 4 DataSource API): the transcripts
     synthesizer as an executor-side Arrow-batched source — scan parallelism
@@ -1784,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_stream_join": x_stream_join,
         "x_synth_source": x_synth_source,
         "x_synth_stream": x_synth_stream,
+        "x_hll_sketches": x_hll_sketches,
         # -- (b) fixed / new this round
         "q_stats_aggs": q_stats_aggs,
         "q_structured_nested": q_structured_nested,
@@ -1809,8 +1834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lateral_latest_order": q_lateral_latest_order,
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
-        "q_near_dup_clusters": q_near_dup_clusters,
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_near_dup_clusters": q_near_dup_clusters,
         "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_curation_pipeline": q_curation_pipeline,
         "q_extract_plain_docs": q_extract_plain_docs,
