@@ -927,6 +927,34 @@ def q_token_budget_mix(spark, sf_dir):
     return out.select("doc_id", "source", "n_tok").orderBy("doc_id")
 
 
+def q_batch_sessions(spark, sf_dir):
+    """Native session_window aggregation in BATCH mode (dynamic-gap
+    sessionization as one groupBy — no window-function cascade), checked
+    against the classic gaps-and-islands SQL. Boundary semantics pinned:
+    an event exactly `gap` after its predecessor MERGES (break is
+    strictly-greater), verified empirically against Spark 4.1."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 40)
+    return (
+        e.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
 def q_try_arithmetic(spark, sf_dir):
     """Error-safe expression surface (ANSI-mode hygiene): try_divide gives
     NULL on division by zero, try_cast gives NULL on malformed input —
@@ -1796,9 +1824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_srp_lsh_topk": x_srp_lsh_topk,
         "x_ivf_ann_topk": x_ivf_ann_topk,
         "x_media_features": x_media_features,
-        "x_media_resize": lambda spark, sf_dir: MM.resize_images(
-            MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
-        ).orderBy("media_id"),
         "x_streaming_extract": x_streaming_extract,
         "x_binary_extract": x_binary_extract,
         "x_stream_windowed_rates": x_stream_windowed_rates,
@@ -1825,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_spans": q_boilerplate_spans,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
+        "q_batch_sessions": q_batch_sessions,
         "q_try_arithmetic": q_try_arithmetic,
         "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
@@ -1835,6 +1861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "x_media_resize": lambda spark, sf_dir: MM.resize_images(
+            MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
+        ).orderBy("media_id"),
         "q_near_dup_clusters": q_near_dup_clusters,
         "q_lsh_jaccard_verified": q_lsh_jaccard_verified,
         "q_curation_pipeline": q_curation_pipeline,
@@ -2592,6 +2621,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE frac >= 1.0
                OR substr(md5('mix' || base.doc_id::VARCHAR), 1, 8) < thr.thr
             ORDER BY base.doc_id
+        """,
+        "q_batch_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events WHERE user_id <= 40),
+            m AS (
+              SELECT *, CASE WHEN prev IS NULL
+                                  OR ts - prev > INTERVAL 10 MINUTE
+                             THEN 1 ELSE 0 END AS brk
+              FROM o),
+            s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+            SELECT user_id,
+                   min(ts) AS sess_start,
+                   max(ts) + INTERVAL 10 MINUTE AS sess_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value::DECIMAL(18,4)), 2)::DOUBLE AS sum_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, sess_start
         """,
         "q_try_arithmetic": """
             SELECT event_id,
