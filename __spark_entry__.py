@@ -1121,6 +1121,19 @@ def q_gap_fill(spark, sf_dir):
     )
 
 
+def q_gap_fill_2h(spark, sf_dir):
+    """Multi-unit-step resample ("2 hours"): epoch-aligned binning so every
+    event lands on a grid point — the round-4 fix for the date_trunc binning
+    that silently dropped events whose truncated bucket fell between
+    multi-unit grid points (ADVICE r3, operators/timeseries.py)."""
+    from document_extraction_spark.operators.timeseries import resample_with_gaps
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    return resample_with_gaps(e, "user_id", "ts", "value", "2 hours").orderBy(
+        "key", "bucket"
+    )
+
+
 def q_stats_aggs(spark, sf_dir):
     """Statistical aggregates: stddev/variance/correlation/covariance per
     return flag.  Every metric is `round(...) + 0.0`: IEEE `-0.0 + 0.0 =
@@ -1810,7 +1823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_sequences": q_event_sequences,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        "q_sentence_explode": q_sentence_explode,
         "q_salted_skew_join": x_salted_skew_join,
         "q_grouping_sets": q_grouping_sets,
         "q_grouped_agg_udaf": q_grouped_agg_udaf,
@@ -1850,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_spans": q_boilerplate_spans,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
+        "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
         "q_batch_sessions": q_batch_sessions,
         "q_try_arithmetic": q_try_arithmetic,
         "q_corpus_profile": q_corpus_profile,
@@ -1861,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
         "x_media_resize": lambda spark, sf_dir: MM.resize_images(
             MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
         ).orderBy("media_id"),
@@ -2543,7 +2557,11 @@ def oracle_sql() -> dict[str, str]:
             WITH pairs AS (
               SELECT doc_id, unnest({TS.SQL_TOKENS.format(c='lower(text)')}) AS term
               FROM documents),
-            dl AS (SELECT doc_id, count(*)::BIGINT AS dl_raw FROM pairs GROUP BY 1),
+            -- dl from the documents table itself (NOT the unnested pairs):
+            -- a zero-token document must still count toward n_docs/avgdl,
+            -- matching the Spark side's map-only token_count over all rows
+            dl AS (SELECT doc_id, {TS.SQL_TOKEN_COUNT.format(c='lower(text)')}::BIGINT
+                          AS dl_raw FROM documents),
             stats AS (SELECT sum(dl_raw)::DOUBLE / count(*) AS avgdl,
                              count(*)::DOUBLE AS n_docs FROM dl),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM pairs
@@ -2611,7 +2629,8 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN budget IS NULL THEN 1.0
                           ELSE least(1.0, budget::DOUBLE / total_tok::DOUBLE)
                      END AS frac,
-                     lpad(lower(to_hex(CAST(round(frac * 4294967296.0) AS BIGINT))),
+                     lpad(lower(to_hex(least(CAST(round(frac * 4294967296.0) AS BIGINT),
+                                             4294967295))),
                           8, '0') AS thr
               FROM (SELECT source, sum(n_tok)::BIGINT AS total_tok
                     FROM base GROUP BY 1)
@@ -2748,6 +2767,34 @@ def oracle_sql() -> dict[str, str]:
               FROM e GROUP BY 1),
             grid AS (
               SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM spans)
+            SELECT g.key, g.bucket,
+                   coalesce(b.n_events, 0)::BIGINT AS n_events,
+                   round(coalesce(b.sum_dec, 0)::DOUBLE, 2) AS sum_value
+            FROM grid g LEFT JOIN binned b USING (key, bucket)
+            ORDER BY g.key, g.bucket
+        """,
+        "q_gap_fill_2h": """
+            WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id <= 5),
+            binned AS (
+              SELECT user_id AS key,
+                     TIMESTAMP '1970-01-01'
+                       + to_seconds((floor(epoch(ts) / 7200))::BIGINT * 7200)
+                       AS bucket,
+                     count(*)::BIGINT AS n_events,
+                     sum(value::DECIMAL(18,4)) AS sum_dec
+              FROM e GROUP BY 1, 2),
+            spans AS (
+              SELECT user_id AS key,
+                     TIMESTAMP '1970-01-01'
+                       + to_seconds((floor(epoch(min(ts)) / 7200))::BIGINT * 7200)
+                       AS lo,
+                     TIMESTAMP '1970-01-01'
+                       + to_seconds((floor(epoch(max(ts)) / 7200))::BIGINT * 7200)
+                       AS hi
+              FROM e GROUP BY 1),
+            grid AS (
+              SELECT key, unnest(generate_series(lo, hi, INTERVAL 2 HOUR)) AS bucket
               FROM spans)
             SELECT g.key, g.bucket,
                    coalesce(b.n_events, 0)::BIGINT AS n_events,

@@ -67,8 +67,19 @@ def sample_to_token_budget(
         )
         .withColumn(
             "thr",
+            # clamp to the max 8-hex-digit value: a frac within ~2^-33 of 1
+            # would otherwise round to 16^8, whose 9-digit hex lpad would
+            # TRUNCATE to "10000000" and drop ~94% of the source (the
+            # frac>=1 short-circuit doesn't cover frac just below 1)
             F.lpad(
-                F.lower(F.hex(F.round(F.col("frac") * F.lit(_SPACE)).cast("long"))),
+                F.lower(
+                    F.hex(
+                        F.least(
+                            F.round(F.col("frac") * F.lit(_SPACE)).cast("long"),
+                            F.lit(int(_SPACE) - 1),
+                        )
+                    )
+                ),
                 _HEX_WIDTH,
                 "0",
             ),

@@ -46,14 +46,28 @@ def inverted_index(
     ``max_postings`` doc ids (ascending) serialized as a JSON array —
     serialized so the frame stays oracle-comparable (raw arrays crash the
     driver's canonicalizer)."""
+    from pyspark.sql import Window
+
     tf = _doc_terms(docs, id_col, text_col).groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    return tf.groupBy("term").agg(
+    # bound the collected list BEFORE aggregation: collect_list(when(rn<=cap))
+    # skips nulls, so the agg buffer holds at most max_postings ids per term —
+    # a stop-word term at corpus scale no longer materializes its full
+    # posting list in memory just to slice it afterwards. df stays exact
+    # (count over ALL rows, ranked or not). The rank window shuffles on the
+    # same key as the final groupBy, so AQE coalesces them into one exchange.
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = tf.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
-        F.to_json(F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings)).alias(
-            "postings_json"
-        ),
+        F.to_json(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_postings, F.col("doc_id"))
+                )
+            )
+        ).alias("postings_json"),
     )
 
 

@@ -25,6 +25,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _step_seconds(step: str) -> int:
+    """``"2 hours"`` -> 7200.  Only fixed-width units are supported: a
+    month/year grid is not a constant number of seconds, so epoch-aligned
+    binning (the property that keeps multi-unit steps lossless) cannot
+    express it — raise rather than silently drop events."""
+    parts = step.split()
+    if len(parts) != 2:
+        raise ValueError(f"step must be '<count> <unit>', got {step!r}")
+    count, unit_word = parts
+    unit = unit_word.rstrip("s")
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"unsupported step unit {unit_word!r}: only "
+            f"{sorted(_UNIT_SECONDS)} have a fixed length; month/year grids "
+            "need calendar-aware bucketing"
+        )
+    n = int(count)
+    if n < 1:
+        raise ValueError(f"step count must be >= 1, got {step!r}")
+    return n * _UNIT_SECONDS[unit]
+
 
 def resample_with_gaps(
     df: DataFrame,
@@ -39,10 +63,20 @@ def resample_with_gaps(
     where the key had no events. ``sum_value`` accumulates in DECIMAL
     (exact, order-independent) and rounds to 2 decimals at the edge.
 
+    Buckets are EPOCH-ALIGNED: bucket(ts) = floor(epoch(ts)/step)*step, so a
+    multi-unit step ("2 hours", "15 minutes") bins onto exactly the grid the
+    ``sequence()`` explode generates — with date_trunc binning, events whose
+    truncated bucket fell between multi-unit grid points were silently
+    dropped by the LEFT JOIN.  For single-unit steps epoch alignment equals
+    date_trunc in UTC (the session timezone session.py pins), so existing
+    oracles are unchanged.
+
     Keys whose span exceeds ``max_buckets`` grid rows are dropped when the
     cap is set (explicit scale guard — see module docstring)."""
-    unit = step.split()[-1].rstrip("s")  # "1 hour" -> date_trunc unit
-    bucket = F.date_trunc(unit, F.col(ts_col))
+    step_seconds = _step_seconds(step)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds) * step_seconds
+    )
     binned = (
         df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
         .agg(
@@ -50,15 +84,17 @@ def resample_with_gaps(
             F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_dec"),
         )
     )
+
+    def align(c):
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(c) / step_seconds) * step_seconds
+        )
+
     spans = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
-        F.date_trunc(unit, F.max(ts_col)).alias("hi"),
+        align(F.min(ts_col)).alias("lo"),
+        align(F.max(ts_col)).alias("hi"),
     )
     if max_buckets is not None:
-        count, unit_word = step.split()
-        step_seconds = int(count) * {
-            "second": 1, "minute": 60, "hour": 3600, "day": 86400,
-        }[unit_word.rstrip("s")]
         spans = spans.filter(
             (F.col("hi").cast("long") - F.col("lo").cast("long")) / step_seconds
             < max_buckets

@@ -121,6 +121,12 @@ class TranscriptsSynthStreamReader(DataSourceStreamReader):
         return {"index": self._latest}
 
     def partitions(self, start: dict, end: dict):
+        # a restarted query hands us the CHECKPOINTED start offset while
+        # _latest re-initialized to 0 — seed the cursor from it so
+        # latestOffset never regresses below the committed position (a
+        # regressed latest would produce empty/backwards batches until the
+        # fresh instance's counter caught up)
+        self._latest = max(self._latest, start["index"])
         return [InputPartition(i) for i in range(start["index"], end["index"])]
 
     def read(self, partition: InputPartition):
@@ -129,7 +135,7 @@ class TranscriptsSynthStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass
+        self._latest = max(self._latest, end["index"])
 
 
 def register_synth_source(spark) -> None:

@@ -205,6 +205,47 @@ def test_resample_with_gaps(spark):
     assert {r["key"] for r in capped.collect()} == {"u2"}
 
 
+def test_resample_multi_unit_step_loses_nothing(spark):
+    """ADVICE r3 (medium): with date_trunc binning, a multi-unit step dropped
+    every event whose single-unit bucket fell between grid points. Epoch-
+    aligned binning must conserve the event count and value sum exactly."""
+    import datetime
+
+    import pytest
+
+    from document_extraction_spark.operators.timeseries import resample_with_gaps
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0)
+    events = [
+        # one event per hour for 7 hours: under "2 hours", odd-hour events
+        # land mid-grid and were the lost rows before the fix
+        ("u1", t0 + datetime.timedelta(hours=h, minutes=10), float(h + 1))
+        for h in range(7)
+    ] + [("u2", t0 + datetime.timedelta(minutes=47), 4.5)]
+    df = spark.createDataFrame(events, "key string, ts timestamp, v double")
+
+    for step, n_grid_u1 in [("2 hours", 4), ("15 minutes", 25), ("90 seconds", 241)]:
+        out = resample_with_gaps(df, "key", "ts", "v", step)
+        rows = out.collect()
+        total_events = sum(r["n_events"] for r in rows)
+        total_value = round(sum(r["sum_value"] for r in rows), 2)
+        assert total_events == len(events), step
+        assert total_value == round(sum(e[2] for e in events), 2), step
+        u1 = [r for r in rows if r["key"] == "u1"]
+        assert len(u1) == n_grid_u1, step
+    # "2 hours" grid is epoch-aligned: buckets sit on even hours
+    out2 = resample_with_gaps(df, "key", "ts", "v", "2 hours")
+    assert all(
+        r["bucket"].hour % 2 == 0 and r["bucket"].minute == 0
+        for r in out2.collect()
+    )
+    # calendar units have no fixed epoch width -> explicit error, not loss
+    with pytest.raises(ValueError, match="fixed length"):
+        resample_with_gaps(df, "key", "ts", "v", "1 month").collect()
+    with pytest.raises(ValueError, match="count"):
+        resample_with_gaps(df, "key", "ts", "v", "0 hours").collect()
+
+
 def test_blocked_levenshtein_pairs(spark):
     from document_extraction_spark.operators.fuzzy import blocked_levenshtein_pairs
 

@@ -106,3 +106,30 @@ def test_synth_stream_source_drains_deterministically(spark, synth, tmp_path):
         .count()
         == 0
     )
+
+
+def test_stream_reader_offset_monotonic_across_restart():
+    """ADVICE r3: a restarted query constructs a FRESH reader (counter back
+    at 0) but hands it the checkpointed start offset; latestOffset must never
+    report below the committed position or the engine plans empty/backwards
+    batches until the counter catches up."""
+    from document_extraction_spark.sources.synthsource import (
+        TranscriptsSynthStreamReader,
+    )
+
+    opts = {"n_partitions": 8, "partitions_per_trigger": 2}
+    first = TranscriptsSynthStreamReader(opts)
+    assert first.latestOffset() == {"index": 2}
+    assert first.latestOffset() == {"index": 4}
+    first.commit({"index": 4})
+
+    # restart: new instance, checkpoint says start at 4
+    restarted = TranscriptsSynthStreamReader(opts)
+    restarted.partitions({"index": 4}, {"index": 4})
+    nxt = restarted.latestOffset()["index"]
+    assert nxt >= 4  # was 2 before the fix (regressed below the checkpoint)
+    assert nxt <= 8
+    # commit also seeds the cursor
+    other = TranscriptsSynthStreamReader(opts)
+    other.commit({"index": 6})
+    assert other.latestOffset()["index"] >= 6
