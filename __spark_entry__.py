@@ -567,7 +567,9 @@ def q_pack_context(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     docs = d.select("doc_id", TS.token_count(F.col("text")).cast("long").alias("n_tok"))
-    out = PK.pack_documents(docs, cap=200, n_shards=16, tokens_col="n_tok")
+    out = PK.pack_documents(
+        docs, cap=200, n_shards=16, tokens_col="n_tok", shard_mode="md5"
+    )
     return out.select(
         "doc_id", F.col("shard").cast("long").alias("shard"), "bin", "n_tok"
     ).orderBy("doc_id")

@@ -36,11 +36,27 @@ from pyspark.sql import types as T
 _HEX = "0123456789abcdef"
 
 
-def shard_of(key_col, n_shards: int):
-    """Deterministic shard in [0, n_shards) from md5 hex nibbles.
-    Restricted to n_shards in {16, 256} so the DuckDB oracle can replay it
-    with plain strpos arithmetic (no hex->int cast, which is not portable
-    across engines)."""
+def shard_of(key_col, n_shards: int, mode: str = "hash"):
+    """Deterministic shard in [0, n_shards) — a pure function of the id so
+    re-runs, task retries, and engines agree.
+
+    ``mode="hash"`` (default, the production path): ``pmod(xxhash64(id), n)``
+    for ARBITRARY ``n_shards`` — at 100 TB you run thousands of shards, each
+    a few GB, and this is the knob that gets you there.  xxhash64 is a
+    JVM-side codegen'd expression, so shard assignment costs one hash per
+    row, no Python.
+
+    ``mode="md5"``: the original md5-hex-nibble assignment, restricted to
+    n_shards in {16, 256} so the DuckDB oracle can replay it with plain
+    strpos arithmetic (no hex->int cast, which is not portable across
+    engines).  Kept exclusively for oracle-replayable queries
+    (q_pack_context); everything else should take the default."""
+    if mode == "hash":
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        return F.pmod(F.xxhash64(key_col.cast("string")), F.lit(n_shards)).cast("int")
+    if mode != "md5":
+        raise ValueError(f"mode must be 'hash' or 'md5', got {mode!r}")
     h = F.md5(key_col.cast("string"))
 
     def nib(i: int):
@@ -51,7 +67,10 @@ def shard_of(key_col, n_shards: int):
         return nib(1).cast("int")
     if n_shards == 256:
         return (nib(1) * 16 + nib(2)).cast("int")
-    raise ValueError(f"n_shards must be 16 or 256 (oracle-portable), got {n_shards}")
+    raise ValueError(
+        f"n_shards must be 16 or 256 in md5 (oracle-portable) mode, got "
+        f"{n_shards}; use mode='hash' for arbitrary shard counts"
+    )
 
 
 _PACK_SCHEMA = T.StructType(
@@ -70,6 +89,7 @@ def pack_documents(
     n_shards: int = 16,
     id_col: str = "doc_id",
     tokens_col: str = "n_tok",
+    shard_mode: str = "hash",
 ) -> DataFrame:
     """Assign every document a (shard, bin) so each bin's token total stays
     within ``cap`` (except single oversized documents, which sit alone).
@@ -78,12 +98,19 @@ def pack_documents(
     e.g. functions/textstats.token_count). Output: (doc_id, shard, bin,
     n_tok), one row per input document; bins are dense per shard, in id
     order.
+
+    ``n_shards`` is the parallelism/memory knob: each shard's rows pass
+    through one ``applyInPandas`` group, so per-shard row count must fit an
+    executor — at production scale pick n_shards so corpus/n_shards is a few
+    GB (thousands of shards), which the default ``shard_mode="hash"``
+    (pmod(xxhash64)) supports for any count. ``shard_mode="md5"`` keeps the
+    oracle-replayable {16, 256} assignment.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     prepared = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        shard_of(F.col(id_col), n_shards).alias("shard"),
+        shard_of(F.col(id_col), n_shards, mode=shard_mode).alias("shard"),
         F.col(tokens_col).cast("long").alias("n_tok"),
     )
 

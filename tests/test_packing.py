@@ -72,7 +72,11 @@ def test_greedy_reset_rule_exact(spark):
     df = spark.createDataFrame(
         list(zip(same_shard_ids, toks)), "doc_id long, n_tok long"
     )
-    got = PK.pack_documents(df, cap=100).orderBy("doc_id").collect()
+    got = (
+        PK.pack_documents(df, cap=100, shard_mode="md5")
+        .orderBy("doc_id")
+        .collect()
+    )
     assert [r.shard for r in got] == [3] * 6
     assert [r.bin for r in got] == [0, 1, 1, 1, 2, 3]
 
@@ -94,5 +98,51 @@ def test_shard_of_is_uniform_ish_and_stable(spark, docs):
 def test_rejects_bad_args(spark, docs):
     with pytest.raises(ValueError, match="cap"):
         PK.pack_documents(docs, cap=0)
+    # arbitrary counts only in hash mode; md5 stays oracle-restricted
     with pytest.raises(ValueError, match="n_shards"):
-        PK.pack_documents(docs, cap=10, n_shards=7)
+        PK.pack_documents(docs, cap=10, n_shards=7, shard_mode="md5")
+    with pytest.raises(ValueError, match="mode"):
+        PK.pack_documents(docs, cap=10, shard_mode="sha")
+    with pytest.raises(ValueError, match="n_shards"):
+        PK.pack_documents(docs, cap=10, n_shards=0)
+
+
+def test_arbitrary_shard_counts_production_path(spark, docs):
+    """VERDICT r3 ask #1: the default hash path must take ANY n_shards —
+    thousands of shards is how a 100 TB corpus keeps each applyInPandas
+    group executor-sized. Pin the bin invariants at n_shards=4096 and the
+    shard function itself (pmod(xxhash64(id)))."""
+    out = PK.pack_documents(docs, cap=CAP, n_shards=4096)
+    rows = out.collect()
+    assert len(rows) == 400 and len({r.doc_id for r in rows}) == 400
+    assert all(0 <= r.shard < 4096 for r in rows)
+    # shard assignment == pmod(xxhash64(cast(id as string)), 4096), exactly
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(4096))
+            .cast("int")
+            .alias("s"),
+        ).collect()
+    }
+    assert all(expected[r.doc_id] == r.shard for r in rows)
+    # per-shard invariants hold in every occupied shard: dense bins from 0,
+    # id order non-decreasing, multi-doc bins within cap
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 300  # 400 docs over 4096 shards: mostly singletons
+    for shard, srows in by_shard.items():
+        bins = [r.bin for r in srows]
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    fills: dict[tuple, list] = {}
+    for r in rows:
+        fills.setdefault((r.shard, r.bin), []).append(r.n_tok)
+    for toks in fills.values():
+        if len(toks) > 1:
+            assert sum(toks) <= CAP
+    # deterministic across input partitionings (shuffle-safe)
+    again = _collect(PK.pack_documents(docs.repartition(17), cap=CAP, n_shards=4096))
+    assert again == _collect(out)
