@@ -1787,6 +1787,44 @@ def x_hll_sketches(spark, sf_dir):
     return per.unionByName(merged).orderBy("source")
 
 
+def x_hll_persist(spark, sf_dir):
+    """Persisted sketch state (operators/sketch_state.py): two job runs
+    append per-event_type HLL user sketches to a parquet stats table; the
+    merged read estimates cross-run distinct users with no re-scan. The
+    returned frame pins merged estimate == exact distinct over the union
+    (ok flag per row) — rows-only driver check, equality pytest-pinned in
+    test_approx_aggs."""
+    import tempfile
+
+    from document_extraction_spark.operators.sketch_state import (
+        append_distinct_sketches,
+        merged_distinct_estimates,
+    )
+    from document_extraction_spark.sources.tableio import TableIO
+
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    half1 = e.filter(F.col("event_id") % 2 == 0)
+    half2 = e.filter((F.col("event_id") % 2 == 1) | (F.col("event_id") % 4 == 0))
+    io = TableIO(spark, tempfile.mkdtemp(prefix="hll_state_"))
+    append_distinct_sketches(io, half1, "stats", ["event_type"], "user_id", "r1")
+    append_distinct_sketches(io, half2, "stats", ["event_type"], "user_id", "r2")
+    merged = merged_distinct_estimates(io, "stats", ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_runs",
+            "distinct_est",
+            "exact",
+            (F.col("distinct_est") == F.col("exact")).alias("ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def x_synth_source(spark, sf_dir):
     """Custom Python DataSource (Spark 4 DataSource API): the transcripts
     synthesizer as an executor-side Arrow-batched source — scan parallelism
@@ -1831,7 +1869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,
         "q_map_in_arrow": q_map_in_arrow,
         # -- ... and 15 rows-only (streaming / binary / media / UDTF / ANN)
-        "x_udtf_sentences": x_udtf_sentences,
         "x_pandas_udf_classify": x_pandas_udf_classify,
         "x_binary_source": x_binary_source,
         "x_extract_documents_full": x_extract_documents_full,
@@ -1848,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_synth_source": x_synth_source,
         "x_synth_stream": x_synth_stream,
         "x_hll_sketches": x_hll_sketches,
+        "x_hll_persist": x_hll_persist,  # new r4: sketch-state round-trip
         # -- (b) fixed / new this round
         "q_stats_aggs": q_stats_aggs,
         "q_structured_nested": q_structured_nested,
@@ -1877,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
+        "x_udtf_sentences": x_udtf_sentences,      # rotated out r4 (rows r1+r3)
         "x_media_resize": lambda spark, sf_dir: MM.resize_images(
             MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
         ).orderBy("media_id"),
@@ -2690,20 +2729,33 @@ def oracle_sql() -> dict[str, str]:
             FROM rows
         """,
         "q_fuzzy_pairs": f"""
-            WITH base AS (
-              SELECT doc_id,
-                     array_to_string(list_slice(
-                         {TS.SQL_TOKENS.format(c='lower(text)')}, 1, 2), ' ') AS block,
+            WITH tk AS (
+              SELECT doc_id, {TS.SQL_TOKENS.format(c='lower(text)')} AS t,
                      substr(text, 1, 60) AS prefix
               FROM documents),
+            base AS (
+              SELECT doc_id,
+                     'h:' || array_to_string(list_slice(t, 1, 2), ' ') AS block,
+                     prefix
+              FROM tk
+              UNION ALL
+              SELECT doc_id,
+                     't:' || array_to_string(
+                         list_slice(t, greatest(len(t) - 1, 1), len(t)), ' ')
+                       AS block,
+                     prefix
+              FROM tk),
             sizes AS (SELECT block, count(*) AS bs FROM base GROUP BY 1),
             bounded AS (
-              SELECT base.* FROM base JOIN sizes USING (block) WHERE bs <= 1000)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   levenshtein(a.prefix, b.prefix)::BIGINT AS dist
-            FROM bounded a JOIN bounded b USING (block)
-            WHERE a.doc_id < b.doc_id
-              AND levenshtein(a.prefix, b.prefix) <= 20
+              SELECT base.* FROM base JOIN sizes USING (block) WHERE bs <= 1000),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.prefix AS pa, b.prefix AS pb
+              FROM bounded a JOIN bounded b USING (block)
+              WHERE a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, levenshtein(pa, pb)::BIGINT AS dist
+            FROM cand
+            WHERE levenshtein(pa, pb) <= 20
             ORDER BY doc_a, doc_b
         """,
         "q_embedding_centroids": """

@@ -9,12 +9,18 @@ candidates-then-verify shape as the LSH pipeline.
 
 Plan shape at 100 TB:
 
-* block key (leading tokens) is map-only; the self-join is an equi-join on
-  the block — quadratic only WITHIN a block.
-* ``max_block_size`` drops oversized blocks explicitly (stop-word-ish
-  leading tokens would otherwise recreate the all-pairs join); the
-  candidates-lost count is observable by comparing block sizes, mirroring
-  the LSH hot-bucket cap (dedup.py).
+* block keys are map-only; the self-join is an equi-join on the block —
+  quadratic only WITHIN a block.
+* MULTI-KEY blocking: every document enters TWO blocks — its leading tokens
+  ("h:") and its trailing tokens ("t:") — and a pair is a candidate if it
+  matches in EITHER. Single-key leading-token blocking has a recall hole a
+  single first-token typo fully defeats; with head+tail union the corruption
+  must hit both ends at once (the MinHash-LSH banding argument, b=2 bands of
+  positional tokens). Candidates are distinct'd BEFORE the Levenshtein
+  verify so no pair is scored twice.
+* ``max_block_size`` drops oversized blocks explicitly, PER KEY (a
+  stop-word-ish head block dropping does not lose the pair if its tail
+  block is informative); mirroring the LSH hot-bucket cap (dedup.py).
 * ``prefix_chars`` bounds the per-comparison cost: distance runs on fixed
   prefixes, so one comparison is O(prefix²) regardless of payload size.
 """
@@ -36,14 +42,28 @@ def blocked_levenshtein_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_a, doc_b, dist): pairs within the same leading-token block whose
+    """(doc_a, doc_b, dist): pairs sharing a head- OR tail-token block whose
     ``prefix_chars``-prefix edit distance is <= ``max_distance``;
-    doc_a < doc_b, ordered."""
+    doc_a < doc_b, ordered. See module docstring for the multi-key recall
+    argument."""
+    tk = tokens(F.lower(F.col(text_col)))
+    head = F.concat(
+        F.lit("h:"), F.array_join(F.slice(tk, 1, block_tokens), " ")
+    )
+    tail = F.concat(
+        F.lit("t:"),
+        F.array_join(
+            F.slice(
+                tk,
+                F.greatest(F.size(tk) - F.lit(block_tokens - 1), F.lit(1)),
+                block_tokens,
+            ),
+            " ",
+        ),
+    )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_join(
-            F.slice(tokens(F.lower(F.col(text_col))), 1, block_tokens), " "
-        ).alias("block"),
+        F.explode(F.array(head, tail)).alias("block"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("prefix"),
     )
     # no broadcast hint: the allowed-block set is proportional to the number
@@ -60,10 +80,16 @@ def blocked_levenshtein_pairs(
     b = bounded.select(
         F.col("block"), F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
     )
-    return (
+    cand = (
         a.join(b, "block")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        # a pair matching in both its head and tail blocks arrives twice:
+        # dedup BEFORE the O(prefix^2) verify, keyed by the pair only (the
+        # prefixes are functionally determined by the ids)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
         .filter(F.col("dist") <= max_distance)
         .select("doc_a", "doc_b", "dist")
     )

