@@ -1136,6 +1136,54 @@ def q_gap_fill_2h(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, operators/sampling.py): rank by ln(u)/w from the salted
+    key hash, top-n — inclusion probability proportional to token count,
+    reproducible across engines/retries (the md5 integer is exact in a
+    double on both sides)."""
+    from document_extraction_spark.operators.sampling import weighted_sample_n
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", (TS.token_count(F.col("text")) + F.lit(1)).cast("long").alias("w")
+    )
+    return weighted_sample_n(docs, 50, "w", "doc_id").orderBy("doc_id")
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (operators/decontaminate.py): corpus
+    rows' max cosine against a broadcast eval-embedding set — catches
+    paraphrased benchmark leakage the n-gram path (q_decontaminate) misses.
+    Every vec_id % 17 == 0 embedding plays the eval set."""
+    from document_extraction_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    out = semantic_decontaminate(corpus, evalset, threshold=0.5)
+    return out.withColumn(
+        "contaminated", F.col("contaminated").cast("int")
+    ).orderBy("doc_id")
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Unigram-distribution drift between two corpus snapshots
+    (operators/drift.py): per-term Jensen-Shannon contributions, top-150 —
+    the continuous-ingest monitor for 'did this crawl change the language
+    mix'. Snapshots: even vs odd doc_id."""
+    from document_extraction_spark.operators.drift import unigram_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        top_k=150,
+    )
+
+
 def q_stats_aggs(spark, sf_dir):
     """Statistical aggregates: stddev/variance/correlation/covariance per
     return flag.  Every metric is `round(...) + 0.0`: IEEE `-0.0 + 0.0 =
@@ -1869,10 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,
         "q_map_in_arrow": q_map_in_arrow,
         # -- ... and 15 rows-only (streaming / binary / media / UDTF / ANN)
-        "x_pandas_udf_classify": x_pandas_udf_classify,
-        "x_binary_source": x_binary_source,
         "x_extract_documents_full": x_extract_documents_full,
-        "x_srp_lsh_topk": x_srp_lsh_topk,
         "x_ivf_ann_topk": x_ivf_ann_topk,
         "x_media_features": x_media_features,
         "x_streaming_extract": x_streaming_extract,
@@ -1903,6 +1948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
+        "q_weighted_sample": q_weighted_sample,            # new r4
+        "q_semantic_decontaminate": q_semantic_decontaminate,  # new r4
+        "q_corpus_drift": q_corpus_drift,                  # new r4
         "q_batch_sessions": q_batch_sessions,
         "q_try_arithmetic": q_try_arithmetic,
         "q_corpus_profile": q_corpus_profile,
@@ -1916,6 +1964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
         "x_udtf_sentences": x_udtf_sentences,      # rotated out r4 (rows r1+r3)
+        "x_pandas_udf_classify": x_pandas_udf_classify,  # rotated out r4 (rows r1+r3)
+        "x_binary_source": x_binary_source,              # rotated out r4 (rows r1+r3)
+        "x_srp_lsh_topk": x_srp_lsh_topk,                # rotated out r4 (rows r1+r3)
         "x_media_resize": lambda spark, sf_dir: MM.resize_images(
             MM.synth_media_df(spark, _t(spark, sf_dir, "documents"))
         ).orderBy("media_id"),
@@ -2855,6 +2906,61 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(b.sum_dec, 0)::DOUBLE, 2) AS sum_value
             FROM grid g LEFT JOIN binned b USING (key, bucket)
             ORDER BY g.key, g.bucket
+        """,
+        "q_weighted_sample": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     ({TS.SQL_TOKEN_COUNT.format(c='text')})::BIGINT + 1 AS w
+              FROM documents),
+            keyed AS (
+              SELECT doc_id, w,
+                     ln((list_sum([(strpos('0123456789abcdef',
+                                    substr(md5('ws' || doc_id::VARCHAR), i, 1)) - 1)
+                                   * power(16.0, 13 - i)
+                                   for i in range(1, 14)]) + 1.0)
+                        / 4503599627370496.0) / w AS k
+              FROM base),
+            top AS (
+              SELECT doc_id, w FROM keyed
+              ORDER BY k DESC, doc_id ASC LIMIT 50)
+            SELECT doc_id, w FROM top ORDER BY doc_id
+        """,
+        "q_semantic_decontaminate": f"""
+            WITH b AS (SELECT embedding FROM embeddings WHERE vec_id % 17 = 0),
+            a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+            s AS (
+              SELECT a.vec_id AS doc_id,
+                     round(max({_SQL_COS}), 4) + 0.0 AS max_cos
+              FROM a CROSS JOIN b
+              GROUP BY 1)
+            SELECT doc_id, max_cos,
+                   (max_cos >= 0.5)::INT AS contaminated
+            FROM s ORDER BY doc_id
+        """,
+        "q_corpus_drift": f"""
+            WITH ta AS (
+              SELECT unnest({TS.SQL_TOKENS.format(c='lower(text)')}) AS term
+              FROM documents WHERE doc_id % 2 = 0),
+            tb AS (
+              SELECT unnest({TS.SQL_TOKENS.format(c='lower(text)')}) AS term
+              FROM documents WHERE doc_id % 2 = 1),
+            ac AS (SELECT term, count(*)::BIGINT AS ca FROM ta GROUP BY 1),
+            bc AS (SELECT term, count(*)::BIGINT AS cb FROM tb GROUP BY 1),
+            j AS (
+              SELECT term,
+                     coalesce(ca, 0)::DOUBLE
+                       / (SELECT sum(ca) FROM ac)::DOUBLE AS p,
+                     coalesce(cb, 0)::DOUBLE
+                       / (SELECT sum(cb) FROM bc)::DOUBLE AS q
+              FROM ac FULL OUTER JOIN bc USING (term))
+            SELECT term,
+                   round(p, 6) + 0.0 AS p_a,
+                   round(q, 6) + 0.0 AS p_b,
+                   round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+                          + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)
+                         / 2, 7) + 0.0 AS js
+            FROM j
+            ORDER BY js DESC, term ASC LIMIT 150
         """,
         "q_window_range_frame": """
             SELECT o_custkey, o_orderkey,

