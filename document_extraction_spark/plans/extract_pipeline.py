@@ -137,24 +137,61 @@ def split_oversized_turns(
 ) -> DataFrame:
     """Content-preserving oversized-payload policy (the alternative to
     ``max_payload_chars`` truncation): turns longer than ``max_chars``
-    explode into ⌈len/max⌉ chunk rows, keyed (conv_id, turn_idx, chunk_idx).
-
-    Map-only (sequence + substr inside posexplode — no shuffle, no Python);
+    explode into ⌈len/max⌉ chunk rows, keyed (conv_id, turn_idx, chunk_idx);
     concatenating a turn's chunks in chunk_idx order reproduces the original
     text byte-for-byte (pytest-pinned). This is the skew policy for the
-    single-10MB-turn case: the giant row becomes N normal rows that spread
+    single-huge-turn case: the giant row becomes N normal rows that spread
     across tasks, and extraction stays per-row stateless.
+
+    Two map-only paths, split by row size (no shuffle either way):
+
+    * rows ``<= max_chars`` (approximately all of them) pass through a pure
+      JVM projection — chunk_idx 0, untouched;
+    * oversized rows chunk through an Arrow kernel where Python string
+      slicing is O(chunk). The obvious all-JVM form — ``transform(sequence,
+      i -> substr(i*max+1, max))`` — is **quadratic**: Spark strings are
+      variable-width UTF8, so each of the k substr calls re-scans from the
+      start to find its character offset, O(n·k) total. The round-4
+      adversarial-skew bench caught it: one 64 MB turn took 153 s to chunk
+      (BENCH/SKEW_BENCH.json history); the kernel does it in well under a
+      second. Python slices by code point exactly like ``substr``, so chunk
+      boundaries are identical.
     """
     c = F.col(text_col)
-    n_chunks = F.greatest(F.ceil(F.length(c) / F.lit(max_chars)), F.lit(1)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: c.substr(i * max_chars + 1, F.lit(max_chars)),
-    )
     others = [x for x in df.columns if x != text_col]
-    return df.select(
-        *others, F.posexplode(chunks).alias("chunk_idx", text_col)
-    ).select(*others, "chunk_idx", text_col)
+    small = df.filter(c.isNull() | (F.length(c) <= max_chars)).select(
+        *others, F.lit(0).cast("int").alias("chunk_idx"), c.alias(text_col)
+    )
+    big = df.filter(F.length(c) > max_chars).select(*others, text_col)
+    out_fields = [df.schema[x] for x in others] + [
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField(text_col, T.StringType(), True),
+    ]
+    out_schema = T.StructType(out_fields)
+    names = [f.name for f in out_fields]
+
+    def chunker(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            counts = np.array([-(-len(t) // max_chars) for t in texts], dtype=np.int64)
+            out = {o: pdf[o].values.repeat(counts) for o in others}
+            out["chunk_idx"] = np.concatenate(
+                [np.arange(k, dtype=np.int32) for k in counts]
+            ) if len(counts) else np.array([], dtype=np.int32)
+            out[text_col] = [
+                t[off:off + max_chars]
+                for t in texts
+                for off in range(0, len(t), max_chars)
+            ]
+            yield pd.DataFrame(out)[names]
+
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(df.sparkSession)
+    return small.unionByName(big.mapInPandas(chunker, schema=out_schema))
 
 
 def metrics_by_partition(extracted: DataFrame) -> DataFrame:

@@ -160,3 +160,25 @@ def test_split_oversized_turns_roundtrip(spark):
     # map-only: no exchange in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_split_oversized_turns_multibyte_and_null(spark):
+    """Round-4: the oversized path moved to an Arrow kernel (the all-JVM
+    substr chain is quadratic in payload size — see split_oversized_turns
+    docstring). Chunk boundaries count CODE POINTS exactly like substr, so
+    multibyte text reassembles byte-exact; NULL text survives as one chunk."""
+    from document_extraction_spark.plans.extract_pipeline import split_oversized_turns
+
+    uni = ("héllo wörld日本語🎉" * 300)  # multibyte, 4500 code points
+    rows = [("c", 0, uni), ("c", 1, None), ("c", 2, "a" * 1001)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = split_oversized_turns(df, max_chars=1000)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["turn_idx"], []).append((r["chunk_idx"], r["text"]))
+    chunks = [t for _, t in sorted(got[0])]
+    assert len(chunks) == 5
+    assert all(len(c) == 1000 for c in chunks[:4]) and len(chunks[4]) == 500
+    assert "".join(chunks) == uni
+    assert sorted(got[1]) == [(0, None)]
+    assert [c for c, _ in sorted(got[2])] == [0, 1]
