@@ -1169,6 +1169,19 @@ def q_semantic_decontaminate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_sliding_chunks(spark, sf_dir):
+    """Sliding token-window chunking (operators/chunking.py): overlapping
+    64-token windows at stride 48 — documents -> training/RAG units,
+    entirely map-only (posexplode(sequence) + slice inside codegen, zero
+    shuffles)."""
+    from document_extraction_spark.operators.chunking import sliding_token_chunks
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return sliding_token_chunks(d, window=64, stride=48).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def q_corpus_drift(spark, sf_dir):
     """Unigram-distribution drift between two corpus snapshots
     (operators/drift.py): per-term Jensen-Shannon contributions, top-150 —
@@ -1911,7 +1924,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_sequences": q_event_sequences,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        "q_salted_skew_join": x_salted_skew_join,
         "q_grouping_sets": q_grouping_sets,
         "q_grouped_agg_udaf": q_grouped_agg_udaf,
         "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,
@@ -1948,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
+        "q_sliding_chunks": q_sliding_chunks,              # new r4
         "q_weighted_sample": q_weighted_sample,            # new r4
         "q_semantic_decontaminate": q_semantic_decontaminate,  # new r4
         "q_corpus_drift": q_corpus_drift,                  # new r4
@@ -1963,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
+        "q_salted_skew_join": x_salted_skew_join,  # rotated out r4 (green r1+r3)
         "x_udtf_sentences": x_udtf_sentences,      # rotated out r4 (rows r1+r3)
         "x_pandas_udf_classify": x_pandas_udf_classify,  # rotated out r4 (rows r1+r3)
         "x_binary_source": x_binary_source,              # rotated out r4 (rows r1+r3)
@@ -2936,6 +2950,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, max_cos,
                    (max_cos >= 0.5)::INT AS contaminated
             FROM s ORDER BY doc_id
+        """,
+        "q_sliding_chunks": f"""
+            WITH base AS (
+              SELECT doc_id, {TS.SQL_TOKENS.format(c='text')} AS tk
+              FROM documents WHERE doc_id < 300),
+            ex AS (
+              SELECT doc_id, tk,
+                     unnest(range(CASE WHEN len(tk) <= 64 THEN 1
+                                       ELSE CAST(ceil((len(tk) - 64) / 48.0) AS INT) + 1
+                                  END))::INT AS chunk_idx
+              FROM base)
+            SELECT doc_id, chunk_idx,
+                   -- coalesce: DuckDB's array_to_string of an EMPTY list is
+                   -- NULL, Spark's array_join is '' — align on ''
+                   coalesce(array_to_string(list_slice(tk, chunk_idx * 48 + 1,
+                                                       chunk_idx * 48 + 64), ' '),
+                            '') AS chunk,
+                   len(list_slice(tk, chunk_idx * 48 + 1,
+                                  chunk_idx * 48 + 64))::BIGINT AS n_tok
+            FROM ex
+            ORDER BY doc_id, chunk_idx
         """,
         "q_corpus_drift": f"""
             WITH ta AS (
