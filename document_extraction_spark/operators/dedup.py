@@ -364,6 +364,118 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def dedup_clusters_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds —
+    the published MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", ACM SoCC 2014). Same output
+    contract as :func:`dedup_clusters`: (doc_id, cluster_id) with
+    cluster_id = the component's smallest doc_id (pytest-pinned equal).
+
+    Why a second implementation: min-label propagation moves one hop per
+    round, O(diameter) rounds — fine for shallow near-dup graphs, but a
+    CHAIN-shaped component (A~B~C~... from transitive near-dups) needs
+    diameter rounds and trips the max_iters guard. Star contraction halves
+    component height every other round, O(log n) rounds on ANY topology —
+    the safe default at 100 TB where one pathological component shape
+    shouldn't abort the job. Cost per round is the same shape as
+    propagation (one groupBy-min + one join, localCheckpoint lineage cut,
+    1-row driver aggregate), there are just provably fewer rounds.
+
+    Round mechanics (u ranges over every edge endpoint; m(u) = min of
+    u's neighborhood including u itself):
+
+    * large-star: for each STRICTLY LARGER neighbor v > u, emit (v, m(u))
+      — larger nodes re-hang under the local minimum;
+    * small-star: orient edges (hi, lo); for each hi emit (hi, m(hi)) and
+      for each of its smaller neighbors lo emit (lo, m(hi)).
+
+    At the fixpoint every component is a star rooted at its minimum, so the
+    label of a node is min(neighborhood ∪ self)."""
+    e = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    all_nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def sym(edges):
+        return edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+    def neigh_min(s):
+        return s.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+
+    if e.limit(1).count() == 0:
+        return all_nodes.select(
+            F.col("node").alias("doc_id"), F.col("node").alias("cluster_id")
+        )
+
+    # convergence = the (distinct, checkpointed) edge set reaches its
+    # fixpoint EXACTLY: counts equal and no edge outside the previous set.
+    # Unlike propagation's label-sum monotonicity, a cheap scalar isn't
+    # provably strict here, and star rounds are O(log n) few — two small
+    # jobs per round over materialized frames is the honest check.
+    prev_e, prev_count = e, e.count()
+    converged = False
+    for _ in range(max_iters):
+        # large-star
+        s = sym(e)
+        m = neigh_min(s)
+        large = (
+            s.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star on oriented edges (hi >= lo)
+        ori = large.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        m2 = neigh_min(ori)
+        small = (
+            ori.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        count = e.count()
+        if count == prev_count and e.exceptAll(prev_e).limit(1).count() == 0:
+            converged = True
+            break
+        prev_e, prev_count = e, count
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iters} rounds — "
+            "star contraction is O(log n), so this indicates a bug or an "
+            "astronomically large component; raise max_iters"
+        )
+    labels = neigh_min(sym(e)).select(
+        F.col("u").alias("doc_id"), F.col("m").alias("cluster_id")
+    )
+    # isolated nodes of the ORIGINAL pair graph (none by construction since
+    # every input row is an edge, but doc ids appearing only as self-pairs
+    # were filtered) — re-attach any endpoint that lost all its edges
+    return (
+        all_nodes.join(labels, all_nodes.node == labels.doc_id, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash signature: per-token 60-bit md5 hash, per-bit +-1 votes over

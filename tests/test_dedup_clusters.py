@@ -28,3 +28,56 @@ def test_cycle_and_cross_links(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert set(out.values()) == {2}
+
+
+def test_star_equals_propagation_on_lsh_pairs(spark):
+    """dedup_clusters_star (large-star/small-star, O(log n) rounds) must
+    produce EXACTLY the labels of min-label propagation on the real
+    pipeline's pair graph."""
+    from document_extraction_spark.operators import dedup as DD
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = DD.near_dup_pairs_pipeline(docs, threshold=0.2).localCheckpoint()
+    a = sorted(map(tuple, DD.dedup_clusters(pairs).collect()))
+    b = sorted(map(tuple, DD.dedup_clusters_star(pairs).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_star_handles_deep_chain_where_propagation_cannot(spark):
+    """The selling point: a 120-node chain (transitive near-dups) has
+    diameter 119 — min-label propagation trips its max_iters guard, star
+    contraction converges in O(log n) rounds and labels the whole chain
+    with its minimum."""
+    import pytest
+
+    from document_extraction_spark.operators import dedup as DD
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        DD.dedup_clusters(chain, max_iters=20)
+    got = DD.dedup_clusters_star(chain, max_iters=20).collect()
+    assert len(got) == 121
+    assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_star_mixed_topologies(spark):
+    """Chains + triangles + isolated pairs in one graph, shuffled ids."""
+    from document_extraction_spark.operators import dedup as DD
+
+    edges = (
+        [(900, 800), (800, 700)]          # chain, reversed order
+        + [(5, 6), (6, 7), (5, 7)]         # triangle
+        + [(41, 42)]                       # isolated pair
+        + [(300, 301), (301, 300)]         # duplicate/reversed edges
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in DD.dedup_clusters_star(df).collect()}
+    assert {got[900], got[800], got[700]} == {700}
+    assert {got[5], got[6], got[7]} == {5}
+    assert {got[41], got[42]} == {41}
+    assert {got[300], got[301]} == {300}
+    # parity with propagation on the same (shallow) graph
+    prop = {r["doc_id"]: r["cluster_id"] for r in DD.dedup_clusters(df).collect()}
+    assert prop == got
