@@ -2804,7 +2804,11 @@ def oracle_sql() -> dict[str, str]:
             WITH tk AS (
               SELECT doc_id, {TS.SQL_TOKENS.format(c='lower(text)')} AS t,
                      substr(text, 1, 60) AS prefix
-              FROM documents),
+              FROM documents
+              -- blank docs carry no blocking signal (explicit twin of the
+              -- Spark-side size(tk) > 0 filter; previously implicit here via
+              -- array_to_string(empty) -> NULL dropping out of the join)
+              WHERE len({TS.SQL_TOKENS.format(c='lower(text)')}) > 0),
             base AS (
               SELECT doc_id,
                      'h:' || array_to_string(list_slice(t, 1, 2), ' ') AS block,
@@ -2935,11 +2939,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             keyed AS (
               SELECT doc_id, w,
-                     ln((list_sum([(strpos('0123456789abcdef',
-                                    substr(md5('ws' || doc_id::VARCHAR), i, 1)) - 1)
-                                   * power(16.0, 13 - i)
-                                   for i in range(1, 14)]) + 1.0)
-                        / 4503599627370496.0) / w AS k
+                     round(
+                       ln((list_sum([(strpos('0123456789abcdef',
+                                      substr(md5('ws' || doc_id::VARCHAR), i, 1)) - 1)
+                                     * power(16.0, 13 - i)
+                                     for i in range(1, 14)]) + 1.0)
+                          / 4503599627370496.0) / w, 12) AS k
               FROM base),
             top AS (
               SELECT doc_id, w FROM keyed

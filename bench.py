@@ -38,15 +38,24 @@ def stage_tables(sf_dir: str) -> str:
     import pyarrow.parquet as pq
 
     root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # cache key = path + per-file (name, size, mtime) fingerprint (ADVICE
+    # r4): if the driver regenerates tables at the same path with different
+    # contents, the fingerprint changes and we re-stage instead of silently
+    # reusing a stale copy
+    files = sorted(
+        fn for fn in os.listdir(sf_dir) if fn.endswith(".parquet")
+    )
+    fp = hashlib.md5(sf_dir.encode())
+    for fn in files:
+        st = os.stat(os.path.join(sf_dir, fn))
+        fp.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}".encode())
+    tag = fp.hexdigest()[:12]
     out = os.path.join(root, f"dex_bench_staged_{tag}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
-    for fn in sorted(os.listdir(sf_dir)):
-        if not fn.endswith(".parquet"):
-            continue
+    for fn in files:
         src = os.path.join(sf_dir, fn)
         t = pq.read_table(src)
         rg = max(2048, t.num_rows // 64)

@@ -61,10 +61,20 @@ def blocked_levenshtein_pairs(
             " ",
         ),
     )
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array(head, tail)).alias("block"),
-        F.substring(F.col(text_col), 1, prefix_chars).alias("prefix"),
+    base = (
+        docs
+        # ADVICE r4: blank/whitespace-only documents tokenize to an empty
+        # array, collapsing them ALL onto the constant blocks 'h:'/'t:' —
+        # one quadratic hot block of pairs carrying zero fuzzy-match signal
+        # (and a Spark/DuckDB divergence: array_join('') vs
+        # array_to_string(NULL)). They carry no blocking evidence; drop
+        # them from the blocking base explicitly.
+        .filter(F.size(tk) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array(head, tail)).alias("block"),
+            F.substring(F.col(text_col), 1, prefix_chars).alias("prefix"),
+        )
     )
     # no broadcast hint: the allowed-block set is proportional to the number
     # of distinct blocks — AQE picks the join strategy from its actual size

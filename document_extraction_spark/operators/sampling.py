@@ -105,7 +105,14 @@ def weighted_sample_n(
     excluded explicitly (their A-ES key is undefined).
 
     Ranking uses ln(u)/w, the monotone twin of u^(1/w) (same order, one
-    fewer transcendental)."""
+    fewer transcendental). The key is rounded to 12 decimals before the
+    top-n (ADVICE r4): ln() is transcendental, and JVM Math.log vs another
+    engine's libm may disagree in the last ulp — a near-tie at the rank-n
+    cutoff could then flip boundary membership between engines. Rounding
+    collapses sub-1e-12 differences; exact ties fall through to the key_col
+    tiebreak, which every engine orders identically. k spans [-36.05, 0]
+    (u >= 16^-13), so 1e-12 absolute still leaves ~4+ significant digits
+    between any two real-world keys."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
@@ -114,7 +121,9 @@ def weighted_sample_n(
         16**_U_NIBBLES
     )
     w = F.col(weight_col).cast("double")
-    key = F.log(u) / w  # maximize u^(1/w) == maximize ln(u)/w  (ln(u) <= 0)
+    # maximize u^(1/w) == maximize ln(u)/w  (ln(u) <= 0); fixed-precision
+    # rounding makes the cutoff engine-agnostic
+    key = F.round(F.log(u) / w, 12)
     ranked = (
         df.filter(w > 0)
         .withColumn("_aes_key", key)

@@ -102,16 +102,60 @@ class TranscriptsSynthStreamReader(DataSourceStreamReader):
 
     The executor-parallel reader (not SimpleDataSourceStreamReader) is the
     scale path: ``partitions(start, end)`` hands one InputPartition per
-    generated partition id, read on the executors as Arrow batches."""
+    generated partition id, read on the executors as Arrow batches.
+
+    Restart semantics (ADVICE r4): the Python DataSource API gives a fresh
+    reader instance no checkpoint context, so a restarted query's FIRST
+    ``latestOffset()`` call happens before the engine has handed us any
+    checkpointed offset. Two defenses, in order of strength:
+
+    * ``cursor_path`` option (recommended: a file inside the query's
+      checkpoint directory, e.g. ``<ckpt>/synth_cursor``): ``commit()``
+      persists the committed index there atomically and a fresh instance
+      seeds its counter from it, so ``latestOffset()`` is monotonic across
+      restarts in ALL orderings and no duplicates are possible.
+    * without ``cursor_path``: ``partitions()`` clamps to
+      ``range(start, max(start, end))`` so a regressed latest plans an
+      EMPTY batch rather than a backwards one, and the cursor re-seeds from
+      the checkpointed ``start``. The regressed end is still written to the
+      offset log, so the NEXT batch re-emits the partitions between the
+      regressed end and the committed position — a bounded one-restart
+      duplicate window. Idempotent sinks (foreachBatch upsert, dedup) absorb
+      it; non-idempotent sinks should set ``cursor_path``."""
 
     def __init__(self, options: dict):
         self.total = int(options.get("n_partitions", 8))
         self.per_trigger = int(options.get("partitions_per_trigger", 2))
         self.convs_per_partition = int(options.get("convs_per_partition", 50))
         self.seed = int(options.get("seed", 7))
+        self.cursor_path = options.get("cursor_path") or None
         if self.total < 1 or self.per_trigger < 1:
             raise ValueError("n_partitions and partitions_per_trigger must be >= 1")
-        self._latest = 0
+        self._latest = self._load_cursor()
+
+    def _load_cursor(self) -> int:
+        if not self.cursor_path:
+            return 0
+        import os
+
+        try:
+            with open(self.cursor_path) as f:
+                return max(0, int(f.read().strip() or 0))
+        except (OSError, ValueError):
+            return 0
+
+    def _save_cursor(self, index: int) -> None:
+        if not self.cursor_path:
+            return
+        import os
+
+        tmp = f"{self.cursor_path}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w") as f:
+                f.write(str(index))
+            os.replace(tmp, self.cursor_path)
+        except OSError:
+            pass  # cursor is an optimization; the clamp below still holds
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -121,13 +165,15 @@ class TranscriptsSynthStreamReader(DataSourceStreamReader):
         return {"index": self._latest}
 
     def partitions(self, start: dict, end: dict):
-        # a restarted query hands us the CHECKPOINTED start offset while
-        # _latest re-initialized to 0 — seed the cursor from it so
-        # latestOffset never regresses below the committed position (a
-        # regressed latest would produce empty/backwards batches until the
-        # fresh instance's counter caught up)
+        # re-seed the cursor from the checkpointed start (covers the
+        # partitions-first restart ordering when no cursor_path is set) and
+        # clamp so a regressed `end` yields an EMPTY batch, never a
+        # backwards one
         self._latest = max(self._latest, start["index"])
-        return [InputPartition(i) for i in range(start["index"], end["index"])]
+        return [
+            InputPartition(i)
+            for i in range(start["index"], max(start["index"], end["index"]))
+        ]
 
     def read(self, partition: InputPartition):
         yield from _partition_batches(
@@ -136,6 +182,7 @@ class TranscriptsSynthStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._latest = max(self._latest, end["index"])
+        self._save_cursor(self._latest)
 
 
 def register_synth_source(spark) -> None:

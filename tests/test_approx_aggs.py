@@ -3,12 +3,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def test_approx_aggs_within_error_bounds(spark):
+def test_approx_aggs_within_error_bounds(spark, testdata_dir):
     """Sketch aggregates can't be oracle-hashed cross-engine (the sketches
     differ by construction) — pin their accuracy against the exact answers
     instead: HLL++ default rsd is 5%; percentile_approx at the default
     accuracy should land within a tight rank neighborhood."""
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = f"{testdata_dir}/sf0.01"
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     approx = {
         r["event_type"]: r

@@ -272,6 +272,28 @@ def test_blocked_levenshtein_pairs(spark):
     assert capped.count() == 0
 
 
+def test_blocked_levenshtein_blank_docs_never_pair(spark):
+    """ADVICE r4: blank/whitespace-only docs tokenize to [] and previously
+    all collided on the constant 'h:'/'t:' blocks — a quadratic hot block of
+    zero-signal pairs (and a Spark/DuckDB NULL-vs-'' divergence). They must
+    be excluded from blocking entirely."""
+    from document_extraction_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   "),
+            (2, "\t\n"),
+            (3, "real text block here"),
+            (4, "real text block hers"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_a"], r["doc_b"])
+           for r in blocked_levenshtein_pairs(docs, max_distance=60).collect()}
+    assert got == {(3, 4)}  # the blank trio contributes nothing
+
+
 def test_fuzzy_multikey_blocking_recall(spark):
     """VERDICT r3 ask #4: single-key leading-token blocking is fully
     defeated by a first-token typo. With head+tail union blocking the

@@ -30,13 +30,13 @@ def test_cycle_and_cross_links(spark):
     assert set(out.values()) == {2}
 
 
-def test_star_equals_propagation_on_lsh_pairs(spark):
+def test_star_equals_propagation_on_lsh_pairs(spark, testdata_dir):
     """dedup_clusters_star (large-star/small-star, O(log n) rounds) must
     produce EXACTLY the labels of min-label propagation on the real
     pipeline's pair graph."""
     from document_extraction_spark.operators import dedup as DD
 
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = spark.read.parquet(f"{testdata_dir}/sf0.01/documents.parquet")
     pairs = DD.near_dup_pairs_pipeline(docs, threshold=0.2).localCheckpoint()
     a = sorted(map(tuple, DD.dedup_clusters(pairs).collect()))
     b = sorted(map(tuple, DD.dedup_clusters_star(pairs).collect()))

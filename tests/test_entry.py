@@ -27,9 +27,9 @@ def test_oracle_keys_subset_of_queries():
             assert name in os_, f"{name} missing oracle"
 
 
-def test_queries_run_at_sf0001(spark):
+def test_queries_run_at_sf0001(spark, testdata_dir):
     """Every query executes and yields a stable schema at the smallest SF."""
-    sf = "/root/testdata/sf0.001"
+    sf = f"{testdata_dir}/sf0.001"
     for name, fn in E.queries().items():
         df = fn(spark, sf)
         assert df.columns, name

@@ -133,3 +133,39 @@ def test_stream_reader_offset_monotonic_across_restart():
     other = TranscriptsSynthStreamReader(opts)
     other.commit({"index": 6})
     assert other.latestOffset()["index"] >= 6
+
+
+def test_stream_reader_committed_restart_latest_first(tmp_path):
+    """ADVICE r4: when the LAST batch was committed before the crash, the
+    restarted query calls latestOffset() on the fresh reader BEFORE any
+    partitions() call. With cursor_path the persisted commit seeds the fresh
+    instance and latestOffset is monotonic in this ordering too; without it,
+    the regressed end must at least plan an EMPTY (never backwards) batch."""
+    from document_extraction_spark.sources.synthsource import (
+        TranscriptsSynthStreamReader,
+    )
+
+    cursor = str(tmp_path / "synth_cursor")
+    opts = {"n_partitions": 8, "partitions_per_trigger": 2, "cursor_path": cursor}
+    first = TranscriptsSynthStreamReader(opts)
+    first.latestOffset()
+    first.latestOffset()
+    first.commit({"index": 4})
+
+    # committed restart: latestOffset() fires first on the fresh instance
+    restarted = TranscriptsSynthStreamReader(opts)
+    nxt = restarted.latestOffset()["index"]
+    assert nxt >= 4  # persisted cursor prevents the regression entirely
+    assert nxt <= 8
+    # and the planned batch from the checkpointed start is forward-only
+    parts = restarted.partitions({"index": 4}, {"index": nxt})
+    assert [p.value for p in parts] == list(range(4, nxt))
+
+    # without cursor_path the first latest after a committed restart DOES
+    # regress — but partitions() clamps it to an empty batch, not backwards
+    bare = TranscriptsSynthStreamReader(
+        {"n_partitions": 8, "partitions_per_trigger": 2}
+    )
+    regressed = bare.latestOffset()["index"]
+    assert regressed == 2  # documented one-restart duplicate window
+    assert bare.partitions({"index": 4}, {"index": regressed}) == []
