@@ -1546,8 +1546,12 @@ def x_ivf_ann_topk(spark, sf_dir):
 
 
 def x_media_features(spark, sf_dir):
+    """Media features over REAL decodable rasters (round-5): the synthetic
+    image table encodes closed-form pixels as binary PPM (even ids) / 24-bpp
+    BMP (odd ids); width/height here come from the decoded pixel arrays, not
+    metadata (operators/multimodal.py decode_image)."""
     d = _t(spark, sf_dir, "documents")
-    media = MM.synth_media_df(spark, d)
+    media = MM.synth_image_media_df(spark, d)
     feats = MM.extract_media_features(media)
     # features is array<float>; serialize rounded values for the contract
     # (driver canonicalizer can't hash raw list cells)
@@ -1555,6 +1559,18 @@ def x_media_features(spark, sf_dir):
         "features",
         F.to_json(F.transform("features", lambda x: F.round(x.cast("double"), 4))),
     ).orderBy("media_id")
+
+
+def q_media_decode(spark, sf_dir):
+    """End-to-end image decode proof, ORACLE-VERIFIED: generate closed-form
+    pixels per doc, encode as PPM/BMP bytes, decode with the pure-numpy
+    decoders (operators/multimodal.py), and report format + dimensions + the
+    exact pixel-value sum. The DuckDB twin recomputes every value from the
+    generator formula WITHOUT any image code — a hash match proves the
+    encode->decode round trip is byte-exact for both container formats."""
+    d = _t(spark, sf_dir, "documents")
+    media = MM.synth_image_media_df(spark, d)
+    return MM.media_decode_summary(media).orderBy("media_id")
 
 
 def x_streaming_extract(spark, sf_dir):
@@ -1928,7 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round by tools/check_oracles.py (r4: 85/85 OK)."""
     return {
         # -- (a) driver-unverified as of r02: 9 oracle-backed ...
-        "q_event_sequences": q_event_sequences,
+        "q_media_decode": q_media_decode,  # new r5: oracle-verified image decode
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_grouping_sets": q_grouping_sets,
@@ -1982,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_event_sequences": q_event_sequences,    # rotated out r5 (green r2+r4)
         "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
         "q_salted_skew_join": x_salted_skew_join,  # rotated out r4 (green r1+r3)
         "x_udtf_sentences": x_udtf_sentences,      # rotated out r4 (rows r1+r3)
@@ -2872,6 +2889,29 @@ def oracle_sql() -> dict[str, str]:
             ) AS l
             WHERE c_custkey <= 200
             ORDER BY c_custkey
+        """,
+        # decode proof: recompute format/dims/pixel-sum from the generator's
+        # closed form (multimodal.synth_image_pixels) with NO image code —
+        # hash equality proves Spark's PPM/BMP encode->decode is byte-exact
+        "q_media_decode": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                     8 + doc_id % 9 AS w,
+                     8 + (doc_id // 3) % 9 AS h
+              FROM documents),
+            s AS (
+              SELECT d.doc_id, d.fmt, d.w, d.h,
+                     sum((d.doc_id * 31 + i.v * 7 + j.v * 3 + c.v * 11) % 256)
+                       AS pix_sum
+              FROM dims d
+              JOIN (SELECT range AS v FROM range(0, 16)) i ON i.v < d.h
+              JOIN (SELECT range AS v FROM range(0, 16)) j ON j.v < d.w
+              CROSS JOIN (SELECT range AS v FROM range(0, 3)) c
+              GROUP BY 1, 2, 3, 4)
+            SELECT doc_id AS media_id, fmt, w::INT AS width, h::INT AS height,
+                   pix_sum::BIGINT AS pix_sum
+            FROM s ORDER BY media_id
         """,
         "q_window_distribution": """
             SELECT o_orderkey, o_orderpriority,

@@ -39,9 +39,90 @@ def test_decode_failures_flagged_not_crashed(spark, media):
     assert rows[0]["decode_failed"] is False
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM.real_decode(b"x", "image/png")
+def test_ppm_decode_known_bytes_exact():
+    """Hand-written P6 file (with a header comment) decodes byte-exactly:
+    2x2 RGB — red, green / blue, white."""
+    ppm = b"P6\n# a comment\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    img = MM.real_decode(ppm, "image/x-portable-pixmap")
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    assert img.shape == (2, 2, 3)
+    assert np.array_equal(img, want)
+
+
+def test_pgm_decode_expands_grayscale():
+    pgm = b"P5\n3 1\n255\n" + bytes([0, 128, 255])
+    img = MM.decode_image(pgm)
+    assert img.shape == (1, 3, 3)
+    assert np.array_equal(img[0, :, 0], [0, 128, 255])
+    assert np.array_equal(img[..., 0], img[..., 1]) and np.array_equal(
+        img[..., 1], img[..., 2]
+    )
+
+
+def test_ppm_roundtrip_and_bmp_roundtrip_with_padding():
+    """encode -> decode is the identity, including the BMP 4-byte row pad
+    (w=3 -> 9 data bytes + 3 pad per row) and bottom-up row order."""
+    rng = np.random.RandomState(11)
+    for h, w in [(2, 2), (5, 3), (1, 7), (16, 16)]:
+        arr = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(MM.decode_image(MM.encode_ppm(arr)), arr), (h, w)
+        assert np.array_equal(MM.decode_image(MM.encode_bmp(arr)), arr), (h, w)
+
+
+def test_decode_rejects_corrupt_and_unknown():
+    with pytest.raises(ValueError):
+        MM.decode_image(b"")  # empty
+    with pytest.raises(ValueError):
+        MM.decode_image(b"P6\n4 4\n255\n\x00\x01")  # truncated pixels
+    with pytest.raises(ValueError):
+        MM.decode_image(b"P6\n0 4\n255\n")  # zero dimension
+    with pytest.raises(ValueError):
+        MM.decode_image(b"BM" + b"\x00" * 60)  # bogus BMP header
+    with pytest.raises(ValueError):
+        MM.decode_image(b"\x89PNG not actually decodable here")
+
+
+def test_synth_images_decode_to_real_dims(spark):
+    """The synthetic image table's payloads are REAL rasters: features carry
+    width/height from decoded pixels matching the generator's closed form,
+    for both the PPM (even id) and BMP (odd id) flavors."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    media = MM.synth_image_media_df(spark, docs)
+    rows = {r["media_id"]: r for r in MM.extract_media_features(media).collect()}
+    assert len(rows) == 10
+    for did, r in rows.items():
+        assert r["decoded"] is True and r["decode_failed"] is False
+        assert r["width"] == 8 + did % 9
+        assert r["height"] == 8 + (did // 3) % 9
+        feats = np.array(r["features"])
+        assert abs(feats.sum() - 1.0) < 1e-5
+    # and the summary's pixel sum equals the closed form exactly
+    sums = {
+        r["media_id"]: r for r in MM.media_decode_summary(media).collect()
+    }
+    for did, r in sums.items():
+        arr = MM.synth_image_pixels(did)
+        assert r["pix_sum"] == int(arr.astype(np.int64).sum())
+        assert r["fmt"] == ("ppm" if did % 2 == 0 else "bmp")
+
+
+def test_resize_real_pixels_nearest_neighbor(spark):
+    """Decodable payloads resize on REAL pixels: a 4x4 image downsampled to
+    2x2 keeps the floor-sampled gather pixels, re-encoded as P6."""
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [(0, "image", "image/x-portable-pixmap", MM.encode_ppm(arr), 4, 4, 0)],
+        MM.MEDIA_SCHEMA,
+    )
+    out = MM.resize_images(media, 2, 2).collect()[0]
+    assert out["decode_failed"] is False
+    got = MM.decode_image(out["payload"])
+    idx = np.linspace(0, 3, 2).astype(np.int64)  # [0, 3]
+    assert np.array_equal(got, arr[idx][:, idx])
 
 
 def test_resize_shapes_and_failures(spark, media):
@@ -70,7 +151,9 @@ def test_frame_sampling_fanout(spark, media):
     assert ts == [0, 333, 666, 1000]
 
 
-def test_fake_decode_deterministic():
+def test_byte_fallback_deterministic():
     s = pd.Series([b"hello world", b"hello world"])
-    out = MM.fake_decode_features(s)
+    out = MM.decode_features(s)
     assert list(out["features"][0]) == list(out["features"][1])
+    assert not out["decoded"].any()  # plain text takes the byte path
+    assert out["width"].isna().all()
