@@ -1151,6 +1151,23 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample_n(docs, 50, "w", "doc_id").orderBy("doc_id")
 
 
+def q_weighted_sample_distributed(spark, sf_dir):
+    """Two-pass threshold A-ES sampling (operators/sampling.py
+    weighted_sample_n_distributed): percentile_approx places a provable
+    lower bound on the nth-largest rank key, the exact top-n runs on the
+    filtered sliver — the scale path for n beyond driver top-k comfort.
+    Output is row-identical to q_weighted_sample (same oracle)."""
+    from document_extraction_spark.operators.sampling import (
+        weighted_sample_n_distributed,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", (TS.token_count(F.col("text")) + F.lit(1)).cast("long").alias("w")
+    )
+    return weighted_sample_n_distributed(docs, 50, "w", "doc_id").orderBy("doc_id")
+
+
 def q_semantic_decontaminate(spark, sf_dir):
     """Embedding-space decontamination (operators/decontaminate.py): corpus
     rows' max cosine against a broadcast eval-embedding set — catches
@@ -1945,7 +1962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) driver-unverified as of r02: 9 oracle-backed ...
         "q_media_decode": q_media_decode,  # new r5: oracle-verified image decode
-        "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_grouping_sets": q_grouping_sets,
         "q_grouped_agg_udaf": q_grouped_agg_udaf,
@@ -1985,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
         "q_sliding_chunks": q_sliding_chunks,              # new r4
         "q_weighted_sample": q_weighted_sample,            # new r4
+        "q_weighted_sample_distributed": q_weighted_sample_distributed,  # new r5
         "q_semantic_decontaminate": q_semantic_decontaminate,  # new r4
         "q_corpus_drift": q_corpus_drift,                  # new r4
         "q_batch_sessions": q_batch_sessions,
@@ -1999,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_event_sequences": q_event_sequences,    # rotated out r5 (green r2+r4)
+        "q_asof_join": q_asof_join,                # rotated out r5 (green r2+r4)
         "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
         "q_salted_skew_join": x_salted_skew_join,  # rotated out r4 (green r1+r3)
         "x_udtf_sentences": x_udtf_sentences,      # rotated out r4 (rows r1+r3)
@@ -2159,6 +2177,10 @@ _SQL_COS = (
 
 
 def oracle_sql() -> dict[str, str]:
+    return _alias_shared_oracles(_oracle_sql_literals())
+
+
+def _oracle_sql_literals() -> dict[str, str]:
     fp = TS.SQL_FINGERPRINT.format(c="text")
     return {
         "q_pricing_summary": """
@@ -3163,3 +3185,12 @@ def oracle_sql() -> dict[str, str]:
             FROM fin ORDER BY doc_id
         """,
     }
+
+
+def _alias_shared_oracles(d: dict[str, str]) -> dict[str, str]:
+    """Queries whose Spark paths differ but whose outputs are row-identical
+    by construction share one oracle string (the two-pass threshold sampler
+    returns exactly the TakeOrdered sample — pinned in
+    tests/test_drift_sampling_ops.py)."""
+    d["q_weighted_sample_distributed"] = d["q_weighted_sample"]
+    return d

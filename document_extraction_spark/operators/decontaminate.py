@@ -95,6 +95,10 @@ def semantic_decontaminate(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefilter_planes: int | None = None,
+    prefilter_bands: int = 8,
+    dim: int = 64,
+    seed: int = 1234,
 ) -> DataFrame:
     """Embedding-space decontamination: flag corpus rows whose max cosine
     similarity to ANY eval-set embedding reaches ``threshold`` — catches
@@ -107,21 +111,92 @@ def semantic_decontaminate(
     broadcast-small-side shape as the n-gram path, swapped into vector
     space. Corpus embeddings stream through; nothing collects.
 
+    That broadcast-NLJ costs |corpus| x |eval| cosines. When the eval suite
+    is large (hundreds of benchmarks), set ``prefilter_planes`` (VERDICT r4
+    ask #5) to gate the cosine behind banded signed-random-projection
+    bucketing (the :func:`similarity.srp_near_dup_pairs` scheme,
+    ``prefilter_bands`` bands of ``prefilter_planes/prefilter_bands`` sign
+    bits): a corpus row is scored only against eval vectors colliding in at
+    least one band, shrinking the pair stream by the band collision rate.
+    Banding bounds the miss probability at (1 - p^r)^b per true pair
+    (p = 1 - acos(cos)/pi); at threshold 0.9 with 16 planes / 8 bands that
+    is < 0.3%. The prefilter is approximate BY DESIGN: rows with no
+    colliding eval vector report ``max_cos`` NULL and contaminated=false,
+    so ``max_cos`` is a lower-bound witness, not an exact maximum.
+
     Output: (doc_id, max_cos, contaminated) for every corpus row, cosine
-    rounded to 4 decimals at the edge (engine-stable)."""
+    rounded to 4 decimals at the edge (engine-stable). ``eval_emb`` must
+    carry ``id_col`` too when the prefilter is on (candidate dedup across
+    bands is keyed by it)."""
     from document_extraction_spark.operators.similarity import cosine
 
     c = corpus_emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("cv"))
-    e = eval_emb.select(F.col(vec_col).alias("ev"))
-    scored = c.join(F.broadcast(e)).select(
-        "doc_id", cosine(F.col("cv"), F.col("ev")).alias("_cos")
+    if prefilter_planes is None:
+        e = eval_emb.select(F.col(vec_col).alias("ev"))
+        scored = c.join(F.broadcast(e)).select(
+            "doc_id", cosine(F.col("cv"), F.col("ev")).alias("_cos")
+        )
+        return (
+            scored.groupBy("doc_id")
+            .agg((F.round(F.max("_cos"), 4) + F.lit(0.0)).alias("max_cos"))
+            .select(
+                "doc_id",
+                "max_cos",
+                (F.col("max_cos") >= threshold).alias("contaminated"),
+            )
+        )
+
+    from document_extraction_spark.operators.similarity import (
+        _checked_dim,
+        _hyperplanes,
+        srp_signature,
+    )
+
+    if prefilter_planes % prefilter_bands != 0:
+        raise ValueError(
+            f"prefilter_bands ({prefilter_bands}) must divide "
+            f"prefilter_planes ({prefilter_planes})"
+        )
+    per_band = prefilter_planes // prefilter_bands
+    planes = _hyperplanes(dim, prefilter_planes, seed)
+
+    def banded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        vec_ok = _checked_dim(F.col(vec_col), dim)
+        bands = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    srp_signature(
+                        vec_ok, planes[b * per_band : (b + 1) * per_band]
+                    ).cast("string"),
+                )
+                for b in range(prefilter_bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(bands).alias("bucket"),
+        )
+
+    cb = banded(corpus_emb, "doc_id", "cv")
+    eb = banded(eval_emb, "eval_id", "ev")
+    cand = cb.join(F.broadcast(eb), "bucket").dropDuplicates(["doc_id", "eval_id"])
+    per_doc = (
+        cand.select("doc_id", cosine(F.col("cv"), F.col("ev")).alias("_cos"))
+        .groupBy("doc_id")
+        .agg((F.round(F.max("_cos"), 4) + F.lit(0.0)).alias("max_cos"))
     )
     return (
-        scored.groupBy("doc_id")
-        .agg((F.round(F.max("_cos"), 4) + F.lit(0.0)).alias("max_cos"))
+        c.select("doc_id")
+        .distinct()
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "max_cos",
-            (F.col("max_cos") >= threshold).alias("contaminated"),
+            F.coalesce(F.col("max_cos") >= threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
         )
     )

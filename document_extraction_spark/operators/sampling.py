@@ -115,6 +115,16 @@ def weighted_sample_n(
     between any two real-world keys."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    ranked = (
+        _aes_keyed(df, weight_col, key_col, salt)
+        .orderBy(F.col("_aes_key").desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+    return ranked.drop("_aes_key")
+
+
+def _aes_keyed(df: DataFrame, weight_col: str, key_col: str, salt: str) -> DataFrame:
+    """Rows with positive weight, plus their A-ES rank key ``_aes_key``."""
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     # 13 hex nibbles -> exact integer in a double; u in (0, 1]
     u = (F.conv(F.substring(h, 1, _U_NIBBLES), 16, 10).cast("double") + 1.0) / float(
@@ -122,12 +132,53 @@ def weighted_sample_n(
     )
     w = F.col(weight_col).cast("double")
     # maximize u^(1/w) == maximize ln(u)/w  (ln(u) <= 0); fixed-precision
-    # rounding makes the cutoff engine-agnostic
-    key = F.round(F.log(u) / w, 12)
-    ranked = (
-        df.filter(w > 0)
-        .withColumn("_aes_key", key)
-        .orderBy(F.col("_aes_key").desc(), F.col(key_col).asc())
-        .limit(n)
-    )
-    return ranked.drop("_aes_key")
+    # rounding makes the cutoff engine-agnostic (see weighted_sample_n)
+    return df.filter(w > 0).withColumn("_aes_key", F.round(F.log(u) / w, 12))
+
+
+def weighted_sample_n_distributed(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "ws",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """:func:`weighted_sample_n` for ``n`` beyond driver top-k comfort
+    (VERDICT r4 ask #6): two-pass threshold selection that returns the
+    IDENTICAL sample.
+
+    The single-pass variant compiles to TakeOrderedAndProject — each task
+    holds its partition's top ``n`` and the driver merges ``partitions x n``
+    rows, which stops being reasonable around n ~ 10^6. This variant:
+
+    1. one map-side count + one ``percentile_approx`` aggregate place an
+       approximate threshold t at rank-from-top ``n + 2N/accuracy``; the
+       GK-sketch rank guarantee (error <= N/accuracy) makes t provably <=
+       the true nth-largest key, so filtering ``_aes_key >= t`` keeps a
+       SUPERSET of the exact sample of expected size n + O(N/accuracy);
+    2. the exact top-n runs on that filtered sliver only.
+
+    Because pass 2 is exact, the result equals the single-pass sample
+    row-for-row no matter what t the sketch produced (t only sizes the
+    sliver). Use the single-pass variant for small n (fewer jobs: this one
+    pays a count + a quantile aggregate first); use this one when
+    ``partitions x n`` rows at the driver, or a full sort of n rows per
+    task, would hurt. With default accuracy the pass-2 input is ~n + N/5000
+    rows — at N = 10^12 that is ~2x10^8 rows through a distributed top-n,
+    fine; raise ``accuracy`` to shrink it further."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = _aes_keyed(df, weight_col, key_col, salt)
+    total = base.count()
+    if total > n:
+        eps = 1.0 / accuracy
+        frac = 1.0 - (float(n) / total) - 2.0 * eps
+        if frac > 0:
+            t = base.agg(
+                F.percentile_approx("_aes_key", F.lit(frac), F.lit(accuracy))
+            ).first()[0]
+            if t is not None:
+                base = base.filter(F.col("_aes_key") >= t)
+    out = base.orderBy(F.col("_aes_key").desc(), F.col(key_col).asc()).limit(n)
+    return out.drop("_aes_key")

@@ -61,6 +61,47 @@ def test_weighted_sample_rejects_and_excludes(spark):
         weighted_sample_n(df, 0, "w", "doc_id")
 
 
+def test_weighted_sample_distributed_equals_takeordered(spark, testdata_dir):
+    """VERDICT r4 ask #6: the two-pass threshold variant must return the
+    IDENTICAL sample to the single-pass TakeOrdered path — on the real
+    documents fixture, on a repartitioned copy, and in the small-N edge
+    cases where the threshold pass degenerates (n >= N, frac <= 0)."""
+    from pyspark.sql import functions as F
+
+    from document_extraction_spark.operators.sampling import (
+        weighted_sample_n,
+        weighted_sample_n_distributed,
+    )
+
+    docs = (
+        spark.read.parquet(f"{testdata_dir}/sf0.01/documents.parquet")
+        .select("doc_id", (F.length("text") % 97 + 1).cast("double").alias("w"))
+    )
+    single = sorted(map(tuple, weighted_sample_n(docs, 50, "w", "doc_id").collect()))
+    two_pass = sorted(
+        map(tuple, weighted_sample_n_distributed(docs, 50, "w", "doc_id").collect())
+    )
+    assert single == two_pass and len(single) == 50
+    # partitioning-independent, and a coarse sketch (big rank error margin)
+    # still yields the exact sample — t only sizes the pass-2 sliver
+    repart = sorted(
+        map(
+            tuple,
+            weighted_sample_n_distributed(
+                docs.repartition(13), 50, "w", "doc_id", accuracy=100
+            ).collect(),
+        )
+    )
+    assert repart == single
+    # n >= N: everything with positive weight is the sample, both paths
+    tiny = docs.limit(7)
+    assert sorted(
+        map(tuple, weighted_sample_n_distributed(tiny, 50, "w", "doc_id").collect())
+    ) == sorted(map(tuple, weighted_sample_n(tiny, 50, "w", "doc_id").collect()))
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_sample_n_distributed(docs, 0, "w", "doc_id")
+
+
 def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
     from document_extraction_spark.operators.decontaminate import (
         semantic_decontaminate,
@@ -91,6 +132,72 @@ def test_semantic_decontaminate_flags_paraphrase_neighbors(spark):
     assert not got[2]["contaminated"] and 0.7 < got[2]["max_cos"] < 0.9
     # every corpus row gets a verdict row (full audit, not just the flagged)
     assert set(got) == {0, 1, 2}
+
+
+def test_semantic_decontaminate_srp_prefilter_flags_identical(spark):
+    """VERDICT r4 ask #5: the banded-SRP prefilter must reproduce the exact
+    path's contamination flags on a corpus with PLANTED contamination (the
+    sf fixtures top out at cos 0.44, making a threshold-0.9 comparison
+    vacuous) while actually pruning (clean rows never scored -> NULL
+    max_cos), and every scored cosine must equal the exact path's value."""
+    import numpy as np
+
+    from document_extraction_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(42)
+
+    def unit(m):
+        return m / np.linalg.norm(m, axis=-1, keepdims=True)
+
+    evals = unit(rng.standard_normal((8, 64)))
+    clean = unit(rng.standard_normal((200, 64)))
+    # noise norm 0.01*sqrt(64)=0.08 -> cos ~ 1/sqrt(1+0.0064) ~ 0.997
+    planted = unit(evals[:6] + 0.01 * rng.standard_normal((6, 64)))
+    corpus_rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(np.vstack([planted, clean]))
+    ]
+    eval_rows = [(1000 + i, [float(x) for x in v]) for i, v in enumerate(evals)]
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    evalset = spark.createDataFrame(eval_rows, schema)
+
+    exact = {
+        r["doc_id"]: r
+        for r in semantic_decontaminate(corpus, evalset, threshold=0.9).collect()
+    }
+    pre = {
+        r["doc_id"]: r
+        for r in semantic_decontaminate(
+            corpus, evalset, threshold=0.9, prefilter_planes=48, prefilter_bands=6
+        ).collect()
+    }
+    assert set(exact) == set(pre)  # full audit either way
+    assert sum(e["contaminated"] for e in exact.values()) == 6  # plant found
+    for did, e in exact.items():
+        p = pre[did]
+        assert p["contaminated"] == e["contaminated"], did
+        # the prefiltered max_cos is a LOWER-BOUND witness (max over
+        # colliding eval vectors only) — never above the exact maximum, and
+        # for contaminated rows itself above threshold
+        if p["max_cos"] is not None:
+            assert p["max_cos"] <= e["max_cos"], did
+        if p["contaminated"]:
+            assert p["max_cos"] >= 0.9, did
+    assert any(p["max_cos"] is None for p in pre.values())  # pruning happened
+
+
+def test_semantic_decontaminate_prefilter_validation(spark):
+    import pytest as _pytest
+
+    from document_extraction_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    df = spark.createDataFrame([(0, [0.0] * 64)], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="must divide"):
+        semantic_decontaminate(df, df, prefilter_planes=10, prefilter_bands=4)
 
 
 def test_unigram_drift_zero_for_identical_and_names_movers(spark):
