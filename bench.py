@@ -125,12 +125,21 @@ def main() -> int:
         "q_range_join",
         "q_decontaminate",          # curation additions (round 3)
         "q_token_budget_mix",
+        # round-3/4 operator generation (VERDICT r4 ask #2: perf-visible)
+        "q_sliding_chunks",
+        "q_weighted_sample",
+        "q_corpus_drift",
+        "q_semantic_decontaminate",
+        "q_fuzzy_pairs",
+        "q_pack_context",
+        "q_media_decode",           # round-5: real PPM/BMP decode round trip
     ]
 
-    def best_of(fn, runs: int = 3) -> float:
+    def best_of(fn, runs: int = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))) -> float:
         """Shared-VM noise mitigation: identical runs vary up to 4x when a
         neighbor storms (and first runs pay codegen warmup); report the best
-        (steady-state) of ``runs``."""
+        (steady-state) of ``runs`` (override via SPARK_GRAFT_BENCH_RUNS for
+        long scaled-up corpora)."""
         best = float("inf")
         for _ in range(runs):
             t0 = time.time()

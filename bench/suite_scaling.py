@@ -47,9 +47,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pair", nargs=2, type=int, default=[2, 8], metavar=("N", "MN"))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--tag", default="", help="suffix for the output json/md section (e.g. 10x)")
     args = ap.parse_args()
     n, mn = args.pair
     factor = mn / n
+    suffix = f"_{args.tag}" if args.tag else ""
 
     lo = run_suite(n, args.sf_dir)
     hi = run_suite(mn, args.sf_dir)
@@ -75,14 +77,15 @@ def main() -> int:
                                   str(mn): hi["extract_turns_per_sec"]},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "SUITE_SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"SUITE_SCALING{suffix}.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result["suite_total"]))
 
     # render the per-query markdown section
+    title_tag = f" at {args.tag} data" if args.tag else ""
     lines = [
         "",
-        f"## Bench-suite per-query scaling ({n} -> {mn} CPUs, pinned)",
+        f"## Bench-suite per-query scaling{title_tag} ({n} -> {mn} CPUs, pinned)",
         "",
         f"Measured {result['measured']} at {args.sf_dir} via "
         f"`python bench/suite_scaling.py --pair {n} {mn}` (best-of-2 per query "
@@ -105,9 +108,13 @@ def main() -> int:
     ]
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     md = open(md_path).read() if os.path.exists(md_path) else ""
-    marker = "## Bench-suite per-query scaling"
+    marker = f"## Bench-suite per-query scaling{title_tag} ("
     if marker in md:
-        md = md[: md.index(marker)].rstrip() + "\n"
+        # bounded replace: cut this section only, up to the next heading
+        start = md.index(marker)
+        nxt = md.find("\n## ", start + 1)
+        tail = md[nxt:] if nxt != -1 else "\n"
+        md = md[:start].rstrip() + "\n" + tail
     md = md.rstrip() + "\n" + "\n".join(lines) + "\n"
     with open(md_path, "w") as f:
         f.write(md)

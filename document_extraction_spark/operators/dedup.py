@@ -300,7 +300,8 @@ def near_dup_pairs_pipeline(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 
     cluster_id = the smallest doc_id reachable through the pair graph
@@ -328,7 +329,9 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).collect()[0]["s"]
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(edges.u)
@@ -354,6 +357,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             converged = True
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds  # bench instrumentation (cc_scale.py)
     if not converged:
         # min-label propagation moves one hop per round: a chain-shaped
         # component with radius > max_iters would silently get wrong ids
@@ -364,7 +369,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def dedup_clusters_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+def dedup_clusters_star(pairs: DataFrame, max_iters: int = 30,
+                        stats: dict | None = None) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR rounds —
     the published MapReduce CC algorithm (Kiveris et al., "Connected
     Components in MapReduce and Beyond", ACM SoCC 2014). Same output
@@ -426,7 +432,9 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
     # jobs per round over materialized frames is the honest check.
     prev_e, prev_count = e, e.count()
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # large-star
         s = sym(e)
         m = neigh_min(s)
@@ -455,6 +463,8 @@ def dedup_clusters_star(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
             converged = True
             break
         prev_e, prev_count = e, count
+    if stats is not None:
+        stats["rounds"] = rounds  # bench instrumentation (cc_scale.py)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters_star did not converge in {max_iters} rounds — "
