@@ -1170,17 +1170,22 @@ def q_weighted_sample_distributed(spark, sf_dir):
 
 def q_semantic_decontaminate(spark, sf_dir):
     """Embedding-space decontamination (operators/decontaminate.py): corpus
-    rows' max cosine against a broadcast eval-embedding set — catches
-    paraphrased benchmark leakage the n-gram path (q_decontaminate) misses.
-    Every vec_id % 17 == 0 embedding plays the eval set."""
+    rows' max cosine against the eval-embedding set — catches paraphrased
+    benchmark leakage the n-gram path (q_decontaminate) misses. Every
+    vec_id % 17 == 0 embedding plays the eval set.
+
+    Round-5: runs the EXACT Arrow/matmul kernel (one BLAS matmul per corpus
+    batch, eval matrix in the closure) — ~100x the interpreted-HOF
+    broadcast-NLJ's throughput at identical output (pinned row-equal in
+    tests/test_drift_sampling_ops.py; measured in BENCH/DECON_SRP.json)."""
     from document_extraction_spark.operators.decontaminate import (
-        semantic_decontaminate,
+        semantic_decontaminate_arrow,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     evalset = emb.filter(F.col("vec_id") % 17 == 0)
     corpus = emb.filter(F.col("vec_id") % 17 != 0)
-    out = semantic_decontaminate(corpus, evalset, threshold=0.5)
+    out = semantic_decontaminate_arrow(corpus, evalset, threshold=0.5)
     return out.withColumn(
         "contaminated", F.col("contaminated").cast("int")
     ).orderBy("doc_id")

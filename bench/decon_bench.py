@@ -42,6 +42,7 @@ def main() -> int:
     from document_extraction_spark import get_spark
     from document_extraction_spark.operators.decontaminate import (
         semantic_decontaminate,
+        semantic_decontaminate_arrow,
     )
 
     spark = get_spark(
@@ -72,9 +73,9 @@ def main() -> int:
     corpus_big = blow_up(corp_nat, rc, 10_000_000).union(planted).localCheckpoint()
     n_corpus, n_eval = corpus_big.count(), eval_big.count()
 
-    def timed(**kw):
+    def timed(fn, **kw):
         t0 = time.monotonic()
-        out = semantic_decontaminate(corpus_big, eval_big, threshold=0.9, **kw)
+        out = fn(corpus_big, eval_big, threshold=0.9, **kw)
         n_flagged = out.filter("contaminated").count()
         return round(time.monotonic() - t0, 3), n_flagged
 
@@ -82,9 +83,14 @@ def main() -> int:
     semantic_decontaminate(
         corpus_big.limit(500), eval_big.limit(50), threshold=0.9
     ).count()
+    semantic_decontaminate_arrow(
+        corpus_big.limit(500), eval_big.limit(50), threshold=0.9
+    ).count()
 
-    exact_sec, exact_flagged = timed()
+    exact_sec, exact_flagged = timed(semantic_decontaminate)
+    arrow_sec, arrow_flagged = timed(semantic_decontaminate_arrow)
     pre_sec, pre_flagged = timed(
+        semantic_decontaminate,
         prefilter_planes=args.planes, prefilter_bands=args.bands, dim=64
     )
 
@@ -94,15 +100,17 @@ def main() -> int:
         "n_corpus": n_corpus,
         "n_eval": n_eval,
         "planted": 50,
-        "exact": {"sec": exact_sec, "flagged": exact_flagged},
+        "exact_hof_nlj": {"sec": exact_sec, "flagged": exact_flagged},
+        "exact_arrow_matmul": {"sec": arrow_sec, "flagged": arrow_flagged},
         "srp_prefilter": {
             "sec": pre_sec,
             "flagged": pre_flagged,
             "planes": args.planes,
             "bands": args.bands,
         },
-        "speedup": round(exact_sec / pre_sec, 2) if pre_sec else None,
-        "flags_equal": exact_flagged == pre_flagged,
+        "speedup_prefilter_vs_hof": round(exact_sec / pre_sec, 2) if pre_sec else None,
+        "speedup_arrow_vs_hof": round(exact_sec / arrow_sec, 2) if arrow_sec else None,
+        "flags_equal": exact_flagged == pre_flagged == arrow_flagged,
     }
     with open(os.path.join(REPO, "BENCH", "DECON_SRP.json"), "w") as f:
         json.dump(result, f, indent=2)

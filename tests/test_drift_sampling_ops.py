@@ -188,6 +188,33 @@ def test_semantic_decontaminate_srp_prefilter_flags_identical(spark):
     assert any(p["max_cos"] is None for p in pre.values())  # pruning happened
 
 
+def test_semantic_decontaminate_arrow_equals_hof(spark, testdata_dir):
+    """The matmul (mapInPandas) exact kernel must reproduce the HOF
+    broadcast-NLJ path row-for-row — same max_cos at the 4-decimal rounding
+    edge, same flags — on the real embeddings fixture at the oracle query's
+    threshold."""
+    from pyspark.sql import functions as F
+
+    from document_extraction_spark.operators.decontaminate import (
+        semantic_decontaminate,
+        semantic_decontaminate_arrow,
+    )
+
+    emb = spark.read.parquet(f"{testdata_dir}/sf0.01/embeddings.parquet")
+    evalset = emb.filter(F.col("vec_id") % 17 == 0)
+    corpus = emb.filter(F.col("vec_id") % 17 != 0)
+    hof = sorted(
+        map(tuple, semantic_decontaminate(corpus, evalset, threshold=0.5).collect())
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            semantic_decontaminate_arrow(corpus, evalset, threshold=0.5).collect(),
+        )
+    )
+    assert hof == arrow and len(hof) > 0
+
+
 def test_semantic_decontaminate_prefilter_validation(spark):
     import pytest as _pytest
 
