@@ -336,9 +336,13 @@ def q_simhash(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
+    """Exact cosine top-k baseline. Round-5: runs the Arrow matmul kernel
+    (per-batch BLAS + per-batch top-k survivors + one small window rank) —
+    pinned row-equal to the HOF broadcast path in tests/test_similarity.py;
+    the interpreted-HOF cosine costs ~10 us/pair (BENCH/DECON_SRP.json)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+    return SIM.brute_force_topk_arrow(emb, queries, k=10).orderBy("query_id", "rank")
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1191,6 +1195,19 @@ def q_semantic_decontaminate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_audio_decode(spark, sf_dir):
+    """End-to-end AUDIO decode proof, ORACLE-VERIFIED (round-5, the audio
+    twin of q_media_decode): closed-form PCM samples per doc, encoded as
+    16-bit RIFF/WAVE, decoded by the pure-numpy chunk-walking WAV parser
+    (operators/multimodal.py decode_wav); the DuckDB twin recomputes
+    rate/channels/frames/duration/|sample|-sum from the generator formula
+    with no audio code — a hash match proves the encode->decode round trip
+    byte-exact."""
+    d = _t(spark, sf_dir, "documents")
+    media = MM.synth_audio_media_df(spark, d)
+    return MM.audio_decode_summary(media).orderBy("media_id")
+
+
 def q_sliding_chunks(spark, sf_dir):
     """Sliding token-window chunking (operators/chunking.py): overlapping
     64-token windows at stride 48 — documents -> training/RAG units,
@@ -1967,8 +1984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) driver-unverified as of r02: 9 oracle-backed ...
         "q_media_decode": q_media_decode,  # new r5: oracle-verified image decode
+        "q_audio_decode": q_audio_decode,  # new r5: oracle-verified WAV decode
         "q_range_join": q_range_join,
-        "q_grouping_sets": q_grouping_sets,
         "q_grouped_agg_udaf": q_grouped_agg_udaf,
         "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,
         "q_map_in_arrow": q_map_in_arrow,
@@ -2022,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_event_sequences": q_event_sequences,    # rotated out r5 (green r2+r4)
         "q_asof_join": q_asof_join,                # rotated out r5 (green r2+r4)
+        "q_grouping_sets": q_grouping_sets,        # rotated out r5 (green r2+r4)
         "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
         "q_salted_skew_join": x_salted_skew_join,  # rotated out r4 (green r1+r3)
         "x_udtf_sentences": x_udtf_sentences,      # rotated out r4 (rows r1+r3)
@@ -2916,6 +2934,30 @@ def _oracle_sql_literals() -> dict[str, str]:
             ) AS l
             WHERE c_custkey <= 200
             ORDER BY c_custkey
+        """,
+        # audio decode proof: recompute rate/channels/frames/duration/amp
+        # from the generator's closed form (multimodal.synth_audio_samples)
+        # with NO audio code — hash equality proves the WAV round trip
+        "q_audio_decode": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8000 * (1 + doc_id % 3) AS rate,
+                     1 + doc_id % 2 AS nch,
+                     400 + (doc_id % 5) * 100 AS nframes
+              FROM documents),
+            s AS (
+              SELECT d.doc_id, d.rate, d.nch, d.nframes,
+                     sum(abs(((d.doc_id * 7 + i.v * 13 + c.v * 5) % 2001)
+                             - 1000)) AS amp_sum
+              FROM dims d
+              JOIN (SELECT range AS v FROM range(0, 800)) i ON i.v < d.nframes
+              JOIN (SELECT range AS v FROM range(0, 2)) c ON c.v < d.nch
+              GROUP BY 1, 2, 3, 4)
+            SELECT doc_id AS media_id, rate::INT AS sample_rate,
+                   nch::INT AS n_channels, nframes::BIGINT AS n_frames,
+                   (nframes * 1000 // rate)::BIGINT AS duration_ms,
+                   amp_sum::BIGINT AS amp_sum
+            FROM s ORDER BY media_id
         """,
         # decode proof: recompute format/dims/pixel-sum from the generator's
         # closed form (multimodal.synth_image_pixels) with NO image code —

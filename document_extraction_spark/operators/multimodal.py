@@ -366,6 +366,166 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) ->
     )
 
 
+# ---------------------------------------------------------------------------
+# Pure-numpy audio decode: RIFF/WAVE PCM (8-bit unsigned / 16-bit signed LE)
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload) -> tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM payload -> (sample_rate, n_channels, samples)
+    where samples is an (n_frames, n_channels) int32 array (8-bit unsigned
+    recentred to signed, 16-bit passed through). Walks the chunk list
+    properly (skips LIST/fact/unknown chunks); raises ValueError on
+    non-PCM, truncation, or unsupported widths — callers treat that as
+    'not audio', never a crash."""
+    if payload is None or len(payload) < 44:
+        raise ValueError("not a WAV (too short)")
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(buf)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("WAV fmt chunk truncated")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if len(body) < csize:
+                raise ValueError("WAV data chunk truncated")
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _byterate, _align, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"only PCM WAV supported (fmt tag {audio_fmt})")
+    if channels < 1 or rate < 1:
+        raise ValueError(f"bad WAV header (channels={channels}, rate={rate})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported (bits={bits})")
+    frames = samples.size // channels
+    return rate, channels, samples[: frames * channels].reshape(frames, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n_frames, n_channels) int16-range array + rate -> 16-bit PCM WAV
+    bytes (round-trips through decode_wav)."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    arr = arr.astype("<i2")
+    frames, channels = arr.shape
+    data = arr.tobytes()
+    byterate = rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byterate, channels * 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+AUDIO_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("amp_sum", T.LongType()),
+    ]
+)
+
+
+def audio_decode_summary(media: DataFrame) -> DataFrame:
+    """Per-object WAV decode proof: rate/channels/frames from the header,
+    duration from frames/rate, and the exact sum of |sample| over all
+    channels. With :func:`synth_audio_media_df`'s closed-form samples this
+    is SQL-recomputable — the audio twin of :func:`media_decode_summary`."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(media.sparkSession)
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, channels, samples = decode_wav(buf)
+                except ValueError:
+                    rows.append((int(mid), None, None, None, None, None))
+                    continue
+                frames = samples.shape[0]
+                rows.append(
+                    (
+                        int(mid),
+                        rate,
+                        channels,
+                        frames,
+                        frames * 1000 // rate,
+                        int(np.abs(samples.astype(np.int64)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "duration_ms", "amp_sum",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_SUMMARY_SCHEMA
+    )
+
+
+def synth_audio_samples(doc_id: int) -> tuple[int, np.ndarray]:
+    """Closed-form deterministic test clip for ``doc_id``: rate
+    8000*(1 + id%3), channels 1 + id%2, frames 400 + (id%5)*100,
+    sample[i, c] = ((id*7 + i*13 + c*5) % 2001) - 1000. The SQL twin lives
+    in the q_audio_decode oracle — keep them in lockstep."""
+    rate = 8000 * (1 + doc_id % 3)
+    channels = 1 + doc_id % 2
+    frames = 400 + (doc_id % 5) * 100
+    i = np.arange(frames).reshape(-1, 1)
+    c = np.arange(channels).reshape(1, -1)
+    return rate, ((doc_id * 7 + i * 13 + c * 5) % 2001) - 1000
+
+
+def synth_audio_media_df(spark, documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-audio media table: each doc becomes a decodable
+    16-bit PCM WAV clip with closed-form samples (executor-side generation,
+    same shape as :func:`synth_image_media_df`)."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(spark)
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate, samples = synth_audio_samples(did)
+                payload = encode_wav(samples, rate)
+                dur = samples.shape[0] * 1000 // rate
+                rows.append((did, "audio", "audio/wav", payload, 0, 0, dur))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 DECODE_SUMMARY_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -151,6 +151,70 @@ def test_frame_sampling_fanout(spark, media):
     assert ts == [0, 333, 666, 1000]
 
 
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(5)
+    for frames, channels, rate in [(100, 1, 8000), (257, 2, 44100), (1, 1, 16000)]:
+        arr = rng.randint(-32768, 32768, (frames, channels))
+        rate2, ch2, got = MM.decode_wav(MM.encode_wav(arr, rate))
+        assert (rate2, ch2) == (rate, channels)
+        assert np.array_equal(got, arr)
+
+
+def test_wav_decode_known_bytes_exact():
+    """Hand-assembled 16-bit PCM WAV with an extra LIST chunk before data
+    (chunk-walk must skip it): 3 mono frames at 8 kHz."""
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = st.pack("<3h", -1000, 0, 1000)
+    body = (
+        b"WAVE"
+        + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        + b"LIST" + st.pack("<I", 4) + b"INFO"   # skipped
+        + b"data" + st.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + st.pack("<I", len(body)) + body
+    rate, ch, samples = MM.decode_wav(wav)
+    assert (rate, ch) == (8000, 1)
+    assert samples.flatten().tolist() == [-1000, 0, 1000]
+
+
+def test_wav_8bit_and_rejects():
+    import struct as st
+
+    # 8-bit unsigned PCM recentres to signed
+    fmt = st.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([0, 128, 255])
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+    rate, ch, samples = MM.decode_wav(b"RIFF" + st.pack("<I", len(body)) + body)
+    assert samples.flatten().tolist() == [-128, 0, 127]
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFF")                    # too short
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"OggS" + b"\x00" * 60)     # wrong container
+    # non-PCM fmt tag rejected
+    fmt_f = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body_f = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt_f)) + fmt_f
+              + b"data" + st.pack("<I", 0))
+    with pytest.raises(ValueError, match="PCM"):
+        MM.decode_wav(b"RIFF" + st.pack("<I", len(body_f)) + body_f)
+
+
+def test_synth_audio_decodes_to_closed_form(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    media = MM.synth_audio_media_df(spark, docs)
+    rows = {r["media_id"]: r for r in MM.audio_decode_summary(media).collect()}
+    assert len(rows) == 8
+    for did, r in rows.items():
+        rate, samples = MM.synth_audio_samples(did)
+        assert r["sample_rate"] == rate
+        assert r["n_channels"] == samples.shape[1]
+        assert r["n_frames"] == samples.shape[0]
+        assert r["duration_ms"] == samples.shape[0] * 1000 // rate
+        assert r["amp_sum"] == int(np.abs(samples).sum())
+
+
 def test_byte_fallback_deterministic():
     s = pd.Series([b"hello world", b"hello world"])
     out = MM.decode_features(s)

@@ -27,6 +27,23 @@ def test_brute_force_topk_exact(spark, emb):
     assert all(r["vec_id"] != 0 for r in out)  # self excluded
 
 
+def test_brute_force_arrow_equals_hof(spark, emb, testdata_dir):
+    """The Arrow matmul top-k must reproduce the HOF path row-for-row —
+    ranks, 4-decimal cosines, tie-breaks — on the synthetic fixture AND the
+    real embeddings table (multi-query, multi-partition)."""
+    a = sorted(map(tuple, SIM.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5).collect()))
+    b = sorted(map(tuple, SIM.brute_force_topk_arrow(
+        emb, emb.filter(F.col("vec_id") < 3), k=5).collect()))
+    assert a == b and len(a) == 15
+    real = spark.read.parquet(f"{testdata_dir}/sf0.01/embeddings.parquet")
+    q = real.filter(F.col("vec_id") < 5)
+    a2 = sorted(map(tuple, SIM.brute_force_topk(real, q, k=10).collect()))
+    b2 = sorted(map(tuple,
+                    SIM.brute_force_topk_arrow(real.repartition(7), q, k=10).collect()))
+    assert a2 == b2 and len(a2) == 50
+
+
 def test_srp_lsh_subset_of_exact_ranking(spark, emb):
     queries = emb.filter(F.col("vec_id") < 3)
     exact = SIM.brute_force_topk(emb, queries, k=10).collect()
