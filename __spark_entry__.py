@@ -1208,6 +1208,21 @@ def q_audio_decode(spark, sf_dir):
     return MM.audio_decode_summary(media).orderBy("media_id")
 
 
+def q_video_frames(spark, sf_dir):
+    """End-to-end VIDEO frame-sampling proof, ORACLE-VERIFIED (round-5;
+    completes the image/audio/video decode triad): each doc becomes a clip
+    of concatenated P6 frames with closed-form pixels, the frame-walker
+    decodes REAL frames, evenly-spaced sampling picks 3, and the DuckDB
+    twin recomputes frame indices + dims + pixel sums from the formula with
+    no media code (operators/multimodal.py decode_ppm_stream /
+    video_frame_summary)."""
+    d = _t(spark, sf_dir, "documents")
+    media = MM.synth_video_media_df(spark, d)
+    return MM.video_frame_summary(media, n_sample=3).orderBy(
+        "media_id", "sample_idx"
+    )
+
+
 def q_sliding_chunks(spark, sf_dir):
     """Sliding token-window chunking (operators/chunking.py): overlapping
     64-token windows at stride 48 — documents -> training/RAG units,
@@ -1985,8 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) driver-unverified as of r02: 9 oracle-backed ...
         "q_media_decode": q_media_decode,  # new r5: oracle-verified image decode
         "q_audio_decode": q_audio_decode,  # new r5: oracle-verified WAV decode
+        "q_video_frames": q_video_frames,  # new r5: oracle-verified frame sample
         "q_range_join": q_range_join,
-        "q_grouped_agg_udaf": q_grouped_agg_udaf,
         "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,
         "q_map_in_arrow": q_map_in_arrow,
         # -- ... and 15 rows-only (streaming / binary / media / UDTF / ANN)
@@ -2040,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_sequences": q_event_sequences,    # rotated out r5 (green r2+r4)
         "q_asof_join": q_asof_join,                # rotated out r5 (green r2+r4)
         "q_grouping_sets": q_grouping_sets,        # rotated out r5 (green r2+r4)
+        "q_grouped_agg_udaf": q_grouped_agg_udaf,  # rotated out r5 (green r2+r4)
         "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
         "q_salted_skew_join": x_salted_skew_join,  # rotated out r4 (green r1+r3)
         "x_udtf_sentences": x_udtf_sentences,      # rotated out r4 (rows r1+r3)
@@ -2934,6 +2950,35 @@ def _oracle_sql_literals() -> dict[str, str]:
             ) AS l
             WHERE c_custkey <= 200
             ORDER BY c_custkey
+        """,
+        # video frame-sampling proof: recompute sampled frame indices
+        # ((k*(F-1))//2 == floor-sampled linspace for m=3) + dims + pixel
+        # sums from the closed form with NO media code
+        "q_video_frames": """
+            WITH dims AS (
+              SELECT doc_id,
+                     4 + doc_id % 5 AS nf,
+                     8 + doc_id % 9 AS w,
+                     8 + (doc_id // 3) % 9 AS h
+              FROM documents),
+            sampled AS (
+              SELECT d.doc_id, d.nf, d.w, d.h, k.v AS sample_idx,
+                     (k.v * (d.nf - 1)) // 2 AS frame_idx
+              FROM dims d
+              CROSS JOIN (SELECT range AS v FROM range(0, 3)) k),
+            s AS (
+              SELECT t.doc_id, t.sample_idx, t.frame_idx, t.nf, t.w, t.h,
+                     sum((t.doc_id * 31 + t.frame_idx * 17 + i.v * 7
+                          + j.v * 3 + c.v * 11) % 256) AS pix_sum
+              FROM sampled t
+              JOIN (SELECT range AS v FROM range(0, 16)) i ON i.v < t.h
+              JOIN (SELECT range AS v FROM range(0, 16)) j ON j.v < t.w
+              CROSS JOIN (SELECT range AS v FROM range(0, 3)) c
+              GROUP BY 1, 2, 3, 4, 5, 6)
+            SELECT doc_id AS media_id, sample_idx::INT AS sample_idx,
+                   frame_idx::INT AS frame_idx, nf::INT AS n_frames,
+                   w::INT AS width, h::INT AS height, pix_sum::BIGINT AS pix_sum
+            FROM s ORDER BY media_id, sample_idx
         """,
         # audio decode proof: recompute rate/channels/frames/duration/amp
         # from the generator's closed form (multimodal.synth_audio_samples)

@@ -134,6 +134,7 @@ def main() -> int:
         "q_pack_context",
         "q_media_decode",           # round-5: real PPM/BMP decode round trip
         "q_audio_decode",           # round-5: real WAV/PCM decode round trip
+        "q_video_frames",           # round-5: real frame sampling round trip
     ]
 
     def best_of(fn, runs: int = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))) -> float:

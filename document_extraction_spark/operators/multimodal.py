@@ -626,6 +626,138 @@ def synth_image_media_df(spark, documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Video: uncompressed concatenated-PPM container ("MPPM") + real frame sample
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm_stream(payload) -> list[np.ndarray]:
+    """Decode a clip stored as CONCATENATED binary PPM frames (the
+    uncompressed video container this sandbox can realize without codec
+    libraries — the production swap-in is av/ffmpeg behind the same
+    signature). Walks the payload frame-by-frame via the PPM header;
+    raises ValueError on a malformed boundary."""
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty clip payload")
+    buf = bytes(payload)
+    frames: list[np.ndarray] = []
+    pos = 0
+    while pos < len(buf):
+        sub = buf[pos:]
+        if sub[:2] != b"P6":
+            raise ValueError(f"bad frame boundary at byte {pos}")
+        (w, h, _maxval), data_off = _ppm_header(sub)
+        need = data_off + w * h * 3
+        if len(sub) < need:
+            raise ValueError(f"truncated frame at byte {pos}")
+        frames.append(_decode_ppm(sub[:need]))
+        pos += need
+    return frames
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+    ]
+)
+
+
+def video_frame_summary(media: DataFrame, n_sample: int = 3) -> DataFrame:
+    """REAL frame sampling: decode the clip, pick ``n_sample`` evenly-spaced
+    frames (floor-sampled linspace — same index math as resize), and report
+    each sampled frame's dims + exact pixel sum. 1->N row fan-out through
+    mapInPandas; with :func:`synth_video_media_df`'s closed-form pixels the
+    output is SQL-recomputable (q_video_frames oracle)."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(media.sparkSession)
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_ppm_stream(buf)
+                except ValueError:
+                    continue
+                m = min(n_sample, len(frames))
+                idx = np.linspace(0, len(frames) - 1, m).astype(np.int64)
+                for k, f in enumerate(idx):
+                    img = frames[f]
+                    rows.append(
+                        (
+                            int(mid),
+                            k,
+                            int(f),
+                            len(frames),
+                            int(img.shape[1]),
+                            int(img.shape[0]),
+                            int(img.astype(np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_idx", "frame_idx", "n_frames",
+                    "width", "height", "pix_sum",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
+def synth_video_pixels(doc_id: int, frame: int) -> np.ndarray:
+    """Closed-form frame ``frame`` of the test clip for ``doc_id``: the
+    image formula plus a per-frame term — pixel[i, j, c] =
+    (id*31 + frame*17 + i*7 + j*3 + c*11) % 256, dims as
+    :func:`synth_image_pixels`. SQL twin: q_video_frames oracle."""
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id // 3) % 9
+    i = np.arange(h).reshape(-1, 1, 1)
+    j = np.arange(w).reshape(1, -1, 1)
+    c = np.arange(3).reshape(1, 1, -1)
+    return ((doc_id * 31 + frame * 17 + i * 7 + j * 3 + c * 11) % 256).astype(
+        np.uint8
+    )
+
+
+def synth_video_media_df(spark, documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-video media table: each doc becomes a clip of
+    4 + id%5 concatenated P6 frames (closed-form pixels), duration 40 ms per
+    frame (25 fps)."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(spark)
+
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_frames = 4 + did % 5
+                payload = b"".join(
+                    encode_ppm(synth_video_pixels(did, f)) for f in range(n_frames)
+                )
+                w = 8 + did % 9
+                h = 8 + (did // 3) % 9
+                rows.append(
+                    (did, "video", "video/x-mppm", payload, w, h, n_frames * 40)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents.select("doc_id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def synth_media_df(spark, documents: DataFrame, kind: str = "image") -> DataFrame:
     """Derive a deterministic fake media table from the documents corpus:
     payload bytes = utf-8 of the text (opaque to the pipeline)."""

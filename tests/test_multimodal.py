@@ -215,6 +215,39 @@ def test_synth_audio_decodes_to_closed_form(spark):
         assert r["amp_sum"] == int(np.abs(samples).sum())
 
 
+def test_ppm_stream_roundtrip_and_boundaries():
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (4, 5, 3)).astype(np.uint8) for _ in range(6)]
+    clip = b"".join(MM.encode_ppm(f) for f in frames)
+    got = MM.decode_ppm_stream(clip)
+    assert len(got) == 6
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        MM.decode_ppm_stream(clip + b"garbage")   # bad trailing boundary
+    with pytest.raises(ValueError):
+        MM.decode_ppm_stream(clip[:-5])           # truncated last frame
+
+
+def test_video_frame_summary_real_decode(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    media = MM.synth_video_media_df(spark, docs)
+    rows = MM.video_frame_summary(media, n_sample=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    assert set(by_doc) == set(range(6))
+    for did, rs in by_doc.items():
+        n_frames = 4 + did % 5
+        rs = sorted(rs, key=lambda r: r["sample_idx"])
+        assert [r["frame_idx"] for r in rs] == [0, (n_frames - 1) // 2, n_frames - 1]
+        for r in rs:
+            arr = MM.synth_video_pixels(did, r["frame_idx"])
+            assert r["pix_sum"] == int(arr.astype(np.int64).sum())
+            assert (r["height"], r["width"]) == arr.shape[:2]
+            assert r["n_frames"] == n_frames
+
+
 def test_byte_fallback_deterministic():
     s = pd.Series([b"hello world", b"hello world"])
     out = MM.decode_features(s)
