@@ -2002,8 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_decode": q_audio_decode,  # new r5: oracle-verified WAV decode
         "q_video_frames": q_video_frames,  # new r5: oracle-verified frame sample
         "q_range_join": q_range_join,
-        "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,
         "q_map_in_arrow": q_map_in_arrow,
+        "q_ann_topk": q_ann_topk,  # back in-window r5: now the arrow matmul kernel
         # -- ... and 15 rows-only (streaming / binary / media / UDTF / ANN)
         "x_extract_documents_full": x_extract_documents_full,
         "x_ivf_ann_topk": x_ivf_ann_topk,
@@ -2056,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,                # rotated out r5 (green r2+r4)
         "q_grouping_sets": q_grouping_sets,        # rotated out r5 (green r2+r4)
         "q_grouped_agg_udaf": q_grouped_agg_udaf,  # rotated out r5 (green r2+r4)
+        "q_grouped_map_applyinpandas": q_grouped_map_applyinpandas,  # rotated out r5 (green r2+r4)
         "q_sentence_explode": q_sentence_explode,  # rotated out r4 (green r1+r3)
         "q_salted_skew_join": x_salted_skew_join,  # rotated out r4 (green r1+r3)
         "x_udtf_sentences": x_udtf_sentences,      # rotated out r4 (rows r1+r3)
@@ -2077,7 +2078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_structured_extract": q_structured_extract,
         "q_split_oversized": q_split_oversized,
         "q_simhash": q_simhash,
-        "q_ann_topk": q_ann_topk,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_tfidf_top_terms": q_tfidf_top_terms,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
