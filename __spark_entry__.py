@@ -25,6 +25,7 @@ from document_extraction_spark.functions import textstats as TS
 from document_extraction_spark.operators import dedup as DD
 from document_extraction_spark.operators import multimodal as MM
 from document_extraction_spark.operators import similarity as SIM
+from document_extraction_spark.operators import span_dedup as SPD
 from document_extraction_spark.operators import structured as ST
 from document_extraction_spark.plans.extract_pipeline import build_extract_df
 
@@ -302,6 +303,14 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     sig = DD.minhash_signatures(d)
     return DD.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Corpus-wide exact substring (duplicate-span) removal, Lee et al. 2022
+    style — see operators/span_dedup.py for the fixed-width-gram
+    formulation and 100 TB shuffle budget."""
+    d = _t(spark, sf_dir, "documents")
+    return SPD.duplicate_spans(d).orderBy("doc_id")
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -2042,7 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_decontaminate": q_semantic_decontaminate,  # new r4
         "q_corpus_drift": q_corpus_drift,                  # new r4
         "q_batch_sessions": q_batch_sessions,
-        "q_try_arithmetic": q_try_arithmetic,
+        "q_duplicate_spans": q_duplicate_spans,            # new r5
         "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_embedding_centroids": q_embedding_centroids,
@@ -2052,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_try_arithmetic": q_try_arithmetic,      # rotated out r5 (green r2+r4)
         "q_event_sequences": q_event_sequences,    # rotated out r5 (green r2+r4)
         "q_asof_join": q_asof_join,                # rotated out r5 (green r2+r4)
         "q_grouping_sets": q_grouping_sets,        # rotated out r5 (green r2+r4)
@@ -2371,6 +2381,46 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q_exact_dedup": f"""
             SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY fp
+        """,
+        "q_duplicate_spans": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), occ0 AS (
+  SELECT doc_id,
+         unnest([struct_pack(p := i,
+                             g := md5(array_to_string(list_slice(tk, i, i + {SPD.SPAN_WIDTH - 1}), ' ')))
+                 for i in generate_series(1, len(tk) - {SPD.SPAN_WIDTH - 1})]) AS u
+  FROM toks WHERE len(tk) >= {SPD.SPAN_WIDTH}
+), occ AS (SELECT doc_id, u.p AS p, u.g AS ghash FROM occ0),
+dup AS (SELECT ghash FROM occ GROUP BY ghash HAVING count(*) >= {SPD.MIN_OCCURRENCES}),
+hits AS (SELECT DISTINCT o.doc_id, o.p FROM occ o JOIN dup USING (ghash)),
+covered AS (
+  SELECT DISTINCT doc_id, unnest([p + i for i in generate_series(0, {SPD.SPAN_WIDTH - 1})]) AS cp
+  FROM hits
+), isl AS (
+  SELECT doc_id, cp,
+         CASE WHEN lag(cp) OVER w IS NULL OR cp - lag(cp) OVER w > 1 THEN 1 ELSE 0 END AS st
+  FROM covered WINDOW w AS (PARTITION BY doc_id ORDER BY cp)
+), stats AS (
+  SELECT doc_id, count(*)::BIGINT AS dup_token_count, sum(st)::BIGINT AS dup_span_count
+  FROM isl GROUP BY doc_id
+), tokpos AS (
+  SELECT doc_id, generate_subscripts(tk, 1)::BIGINT AS tp, unnest(tk) AS tok FROM toks
+), kept AS (
+  SELECT t.doc_id, t.tp, t.tok
+  FROM tokpos t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tp = c.cp
+  WHERE c.cp IS NULL
+), clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.tk)::BIGINT AS n_tokens,
+       coalesce(s.dup_token_count, 0)::BIGINT AS dup_token_count,
+       coalesce(s.dup_span_count, 0)::BIGINT AS dup_span_count,
+       coalesce(c.clean_text, '') AS clean_text
+FROM toks b LEFT JOIN stats s USING (doc_id) LEFT JOIN clean c USING (doc_id)
+ORDER BY doc_id
         """,
         "q_minhash_lsh_pairs": _sql_minhash_sig() + f"""
             , banded AS (

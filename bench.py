@@ -132,6 +132,7 @@ def main() -> int:
         "q_semantic_decontaminate",
         "q_fuzzy_pairs",
         "q_pack_context",
+        "q_duplicate_spans",        # round-5: exact substring (span) dedup
         "q_media_decode",           # round-5: real PPM/BMP decode round trip
         "q_audio_decode",           # round-5: real WAV/PCM decode round trip
         "q_video_frames",           # round-5: real frame sampling round trip

@@ -1,0 +1,167 @@
+"""Duplicate-span removal: corpus-wide exact substring dedup.
+
+Implements the "remove every duplicated span" pass popularized for LLM
+training corpora by Lee et al. 2022 (*Deduplicating Training Data Makes
+Language Models Better*): any token window of ``width`` tokens whose exact
+content occurs ``min_occurrences``-or-more times anywhere in the corpus
+(including within the same document — boilerplate repetition) is a
+duplicated span; every occurrence's token positions are marked covered,
+overlapping marks merge into maximal spans, and the cleaned document is the
+original token stream with covered positions dropped.
+
+Lee et al. build a corpus-wide suffix array to find *all* duplicate
+substrings of length >= threshold. On a distributed engine the equivalent
+is the fixed-width-gram formulation used here: a substring of >= width
+tokens is duplicated iff all of its width-grams are duplicated, so marking
+every duplicated width-gram's window covers exactly the union of maximal
+duplicate substrings of length >= width (no suffix array, no global sort —
+one hash aggregation). Single pass, like the reference algorithm: removal
+can create new adjacencies that form fresh duplicates; run to fixpoint if
+that matters.
+
+Scale design (100 TB corpus):
+
+* gram hashing is map-only (md5 of the gram text — engine-portable for the
+  DuckDB oracle; xxhash64 is the drop-in at production scale).
+* the duplicated-gram set is one hash-groupBy on the 32-byte gram hash with
+  map-side partial counts; the shuffle carries (hash, count), never text.
+* occurrences rejoin the dup-gram set with a **left-semi join on the gram
+  hash** — AQE broadcasts it when the dup set is small (boilerplate-light
+  corpora) and falls back to a shuffled semi-join otherwise; hot grams
+  (site-wide boilerplate) are exactly the rows the dup set keeps, so the
+  semi-join key distribution mirrors the corpus and AQE skew-split applies.
+* covered positions are (doc_id, int) pairs — ``width`` rows per duplicated
+  occurrence, deduplicated map-side before the per-doc merge.
+* text reconstruction is the one |tokens|-row stage: posexplode -> anti-join
+  covered -> per-doc sorted collect. The shuffle key is doc_id (pre-
+  partitioned corpora co-locate it); an array-side alternative (filter the
+  token array against a collected starts array with an ``exists`` lambda)
+  keeps reconstruction map-only at O(n_tokens * n_spans) interpreted-HOF
+  cost per doc — worse on boilerplate-heavy docs, noted for completeness.
+
+Oracle: every step is relational (group, semi-join, window, ordered
+string_agg) and replicated verbatim in DuckDB SQL in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from document_extraction_spark.operators.dedup import _tokens_df
+
+SPAN_WIDTH = 8
+MIN_OCCURRENCES = 2
+
+
+def _gram_occurrences(base: DataFrame, width: int) -> DataFrame:
+    """(doc_id, p, ghash) — one row per width-gram start position p
+    (1-based). Docs shorter than ``width`` emit nothing: they cannot
+    contain a duplicated span of >= width tokens."""
+    tk = F.col("_tk")
+    return (
+        base.filter(F.size(tk) >= width)
+        .select(
+            "doc_id",
+            tk,
+            F.explode(F.sequence(F.lit(1), F.size(tk) - (width - 1))).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.array_join(F.slice(tk, F.col("p"), width), " ")).alias("ghash"),
+        )
+    )
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                    width: int = SPAN_WIDTH,
+                    min_occurrences: int = MIN_OCCURRENCES,
+                    materialize_covered: bool = True) -> DataFrame:
+    """Corpus-wide duplicate-span removal.
+
+    Returns one row per non-empty document:
+    (doc_id, n_tokens, dup_token_count, dup_span_count, clean_text)
+    where dup_span_count counts *maximal merged* spans, dup_token_count the
+    covered token positions, and clean_text the whitespace-rejoin of the
+    uncovered tokens (lowercased, whitespace-normalized — the same token
+    stream every dedup operator here works on). Fully-duplicated docs get
+    clean_text = ''.
+    """
+    base = _tokens_df(df, id_col, text_col)
+    occ = _gram_occurrences(base, width)
+
+    dup = (
+        occ.groupBy("ghash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_occurrences)
+        .select("ghash")
+    )
+
+    hits = occ.join(dup, "ghash", "leftsemi").select("doc_id", "p")
+
+    covered = (
+        hits.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (width - 1))).alias("cp"),
+        )
+        .distinct()
+    )
+    # `covered` feeds BOTH the stats branch and the anti-join branch; Spark
+    # does not CSE across DataFrame branches, so without a lineage cut the
+    # gram scan + dup-gram aggregation run twice (two extra corpus scans at
+    # 100 TB). Same pattern as dedup.jaccard_verify_candidates:237.
+    if materialize_covered:
+        covered = covered.localCheckpoint(eager=False)
+
+    w_doc = Window.partitionBy("doc_id").orderBy("cp")
+    stats = (
+        covered.withColumn("_lag", F.lag("cp").over(w_doc))
+        .withColumn(
+            "_st",
+            F.when(F.col("_lag").isNull() | (F.col("cp") - F.col("_lag") > 1), 1)
+            .otherwise(0),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_token_count"),
+            F.sum("_st").cast("long").alias("dup_span_count"),
+        )
+    )
+
+    tokpos = base.select(
+        "doc_id", F.posexplode("_tk").alias("tp0", "tok")
+    ).select("doc_id", (F.col("tp0") + 1).alias("tp"), "tok")
+    cov_k = covered.select(
+        F.col("doc_id").alias("_cd"), F.col("cp").alias("_cp")
+    )
+    kept = tokpos.join(
+        cov_k,
+        (tokpos["doc_id"] == cov_k["_cd"]) & (tokpos["tp"] == cov_k["_cp"]),
+        "left_anti",
+    )
+    clean = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
+
+    return (
+        base.select("doc_id", F.size("_tk").cast("long").alias("n_tokens"))
+        .join(stats, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_token_count", F.lit(0).cast("long")).alias("dup_token_count"),
+            F.coalesce("dup_span_count", F.lit(0).cast("long")).alias("dup_span_count"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
