@@ -305,6 +305,27 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return DD.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a 'new batch' (doc_id % 5 == 0) against a
+    persisted corpus LSH index (built from the other 80% and round-tripped
+    through partitioned parquet) — operators/incremental_dedup.py. Verifies
+    the full production loop: index build -> partition-pruned probe ->
+    signature verify -> per-doc best-match flag."""
+    import tempfile
+
+    from document_extraction_spark.operators.incremental_dedup import (
+        build_lsh_index,
+        flag_new_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    new_batch = d.filter(F.col("doc_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="lsh_index_")
+    build_lsh_index(corpus, path)
+    return flag_new_batch(spark, new_batch, path, min_est=0.5).orderBy("doc_id")
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Corpus-wide exact substring (duplicate-span) removal, Lee et al. 2022
     style — see operators/span_dedup.py for the fixed-width-gram
@@ -2029,7 +2050,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hll_sketches": x_hll_sketches,
         "x_hll_persist": x_hll_persist,  # new r4: sketch-state round-trip
         # -- (b) fixed / new this round
-        "q_stats_aggs": q_stats_aggs,
         "q_structured_nested": q_structured_nested,
         "q_stratified_sample": q_stratified_sample,
         "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,
@@ -2052,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_drift": q_corpus_drift,                  # new r4
         "q_batch_sessions": q_batch_sessions,
         "q_duplicate_spans": q_duplicate_spans,            # new r5
+        "q_incremental_dedup": q_incremental_dedup,        # new r5
         "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_embedding_centroids": q_embedding_centroids,
@@ -2062,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_try_arithmetic": q_try_arithmetic,      # rotated out r5 (green r2+r4)
+        "q_stats_aggs": q_stats_aggs,              # rotated out r5 (green r3+r4)
         "q_event_sequences": q_event_sequences,    # rotated out r5 (green r2+r4)
         "q_asof_join": q_asof_join,                # rotated out r5 (green r2+r4)
         "q_grouping_sets": q_grouping_sets,        # rotated out r5 (green r2+r4)
@@ -2381,6 +2403,43 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q_exact_dedup": f"""
             SELECT {fp} AS fp, min(doc_id) AS keep_id, count(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY fp
+        """,
+        "q_incremental_dedup": _sql_minhash_sig() + f"""
+            , banded AS (
+              SELECT doc_id,
+                     unnest([{", ".join(
+                         f"'{b}:' || md5(h{b*2} || '|' || h{b*2+1})" for b in range(DD.LSH_BANDS)
+                     )}]) AS bucket
+              FROM sig),
+            cand AS (
+              SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+              FROM banded n JOIN banded c ON n.bucket = c.bucket
+              WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+              GROUP BY 1, 2),
+            verified AS (
+              SELECT cand.new_id, cand.corpus_id,
+                     ({" + ".join(
+                         f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                         for i in range(DD.MINHASH_K)
+                     )})::BIGINT AS n_eq
+              FROM cand
+              JOIN sig a ON a.doc_id = cand.new_id
+              JOIN sig b ON b.doc_id = cand.corpus_id),
+            est AS (
+              SELECT new_id, corpus_id, n_eq,
+                     round(n_eq / {float(DD.MINHASH_K)}, 4) AS est_jaccard
+              FROM verified
+              WHERE round(n_eq / {float(DD.MINHASH_K)}, 4) >= 0.5),
+            best AS (
+              SELECT new_id, corpus_id, n_eq, est_jaccard,
+                     row_number() OVER (PARTITION BY new_id
+                                        ORDER BY est_jaccard DESC, corpus_id ASC) AS rn
+              FROM est)
+            SELECT d.doc_id, b.corpus_id AS dup_of, b.n_eq, b.est_jaccard,
+                   b.corpus_id IS NOT NULL AS is_dup
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+            ORDER BY doc_id
         """,
         "q_duplicate_spans": f"""
 WITH toks AS (
