@@ -305,6 +305,37 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return DD.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
+def q_zorder_curve(spark, sf_dir):
+    """Z-order (Morton) layout key over events (user_id x ts): quantize both
+    dims to 16 bits against table bounds, bit-interleave, assign 16 layout
+    buckets — operators/layout.py. The write path range-partitions on zval
+    (sampled boundaries, not oracle-stable); here deterministic ntile
+    buckets stand in so the full curve math is oracle-verified."""
+    from document_extraction_spark.operators import layout as LY
+
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.col("user_id").cast("double")).alias("ux_lo"),
+        F.max(F.col("user_id").cast("double")).alias("ux_hi"),
+        F.min(F.unix_timestamp("ts").cast("double")).alias("ts_lo"),
+        F.max(F.unix_timestamp("ts").cast("double")).alias("ts_hi"),
+    )
+    d = e.crossJoin(F.broadcast(b))
+    qx = LY.quantize(F.col("user_id"), F.col("ux_lo"), F.col("ux_hi"))
+    qy = LY.quantize(F.unix_timestamp("ts"), F.col("ts_lo"), F.col("ts_hi"))
+    zd = (
+        d.withColumn("qx", qx)
+        .withColumn("qy", qy)
+        .withColumn("zval", LY.z_interleave(F.col("qx"), F.col("qy")))
+    )
+    w = Window.orderBy("zval", "event_id")
+    return (
+        zd.select("event_id", "qx", "qy", "zval")
+        .withColumn("bucket", F.ntile(16).over(w).cast("long"))
+        .orderBy("event_id")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a 'new batch' (doc_id % 5 == 0) against a
     persisted corpus LSH index (built from the other 80% and round-tripped
@@ -2073,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_batch_sessions": q_batch_sessions,
         "q_duplicate_spans": q_duplicate_spans,            # new r5
         "q_incremental_dedup": q_incremental_dedup,        # new r5
+        "q_zorder_curve": q_zorder_curve,                  # new r5
         "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_embedding_centroids": q_embedding_centroids,
@@ -2440,6 +2472,30 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
             ORDER BY doc_id
+        """,
+        "q_zorder_curve": f"""
+            WITH b AS (
+              SELECT min(user_id::DOUBLE) AS ux_lo, max(user_id::DOUBLE) AS ux_hi,
+                     min(floor(epoch(ts))::BIGINT::DOUBLE) AS ts_lo,
+                     max(floor(epoch(ts))::BIGINT::DOUBLE) AS ts_hi
+              FROM events),
+            q AS (
+              SELECT event_id,
+                     greatest(0, least(65535,
+                       floor((user_id::DOUBLE - ux_lo) * 65535.0 / (ux_hi - ux_lo))::BIGINT)) AS qx,
+                     greatest(0, least(65535,
+                       floor((floor(epoch(ts))::BIGINT::DOUBLE - ts_lo) * 65535.0 / (ts_hi - ts_lo))::BIGINT)) AS qy
+              FROM events CROSS JOIN b),
+            z AS (
+              SELECT event_id, qx, qy,
+                     ({" + ".join(
+                         f"(((qx >> {i}) & 1) << {2 * i + 1}) + (((qy >> {i}) & 1) << {2 * i})"
+                         for i in range(16)
+                     )})::BIGINT AS zval
+              FROM q)
+            SELECT event_id, qx, qy, zval,
+                   ntile(16) OVER (ORDER BY zval, event_id)::BIGINT AS bucket
+            FROM z ORDER BY event_id
         """,
         "q_duplicate_spans": f"""
 WITH toks AS (
