@@ -336,6 +336,43 @@ def q_zorder_curve(spark, sf_dir):
     )
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Domain-authority PageRank over the deterministic host citation graph
+    (operators/graphrank.py): 4 power iterations in EXACT integer arithmetic
+    (S = 10^12 rank grid, fused floor divisions), so the iterative result is
+    engine-independent and hash-verifiable against the unrolled DuckDB twin
+    — no float summation-order escape hatch."""
+    from document_extraction_spark.operators import graphrank as GR
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = GR.host_link_edges(docs)
+    return GR.pagerank_int(edges, iterations=4).orderBy("host")
+
+
+def q_cms_freq(spark, sf_dir):
+    """Count-min sketch frequency estimation (operators/cms.py): build a
+    4x1024 sketch over all token occurrences, probe the deterministic token
+    subset md5('p'||token) LIKE '00%', report true vs estimated counts. The
+    md5-derived buckets make sketch AND estimates engine-exact, so the
+    one-sided error guarantee (est >= true) is itself oracle-verified."""
+    from document_extraction_spark.operators import cms as CMS
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    toks = docs.select(
+        F.explode(TS.tokens(F.lower(F.trim(F.col("text"))))).alias("token")
+    )
+    probes = toks.groupBy("token").agg(F.count("*").alias("true_cnt"))
+    sk = CMS.cms_build(toks, "token")
+    est = CMS.cms_estimate(sk, probes.select("token"), "token")
+    return (
+        probes.join(est, "token")
+        .select("token", "true_cnt", "est_cnt")
+        .orderBy("token")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a 'new batch' (doc_id % 5 == 0) against a
     persisted corpus LSH index (built from the other 80% and round-tripped
@@ -2105,6 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_duplicate_spans": q_duplicate_spans,            # new r5
         "q_incremental_dedup": q_incremental_dedup,        # new r5
         "q_zorder_curve": q_zorder_curve,                  # new r5
+        "q_host_pagerank": q_host_pagerank,                # new r5
+        "q_cms_freq": q_cms_freq,                          # new r5
         "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_embedding_centroids": q_embedding_centroids,
@@ -2200,6 +2239,78 @@ WITH toks AS (
          ELSE [array_to_string(tk, ' ')] END)) AS shingle
   FROM toks
 )
+"""
+
+
+def _sql_pagerank(iterations: int = 4, scale: int = 10**12) -> str:
+    """Unrolled integer-exact PageRank twin of operators/graphrank.py: the
+    same fused floor divisions on BIGINTs, so every iteration is engine-exact
+    (DuckDB `//` == Spark `DIV` on positive 64-bit operands)."""
+    hexint = (
+        "list_sum([(strpos('0123456789abcdef', substr(md5('pr' || doc_id::VARCHAR), i, 1)) - 1)"
+        " * power(16.0, 13 - i) for i in range(1, 14)])::BIGINT"
+    )
+    iters = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT n.host,
+         ((({3 * scale}) // (20 * nn.n_nodes)) + coalesce(i.inflow, 0))::BIGINT AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS host,
+           sum((17 * r.rank * e.w) // (20 * g.d))::BIGINT AS inflow
+    FROM edges e JOIN deg g ON g.src = e.src
+                 JOIN {prev} r ON r.host = e.src
+    GROUP BY 1) i ON i.host = n.host)""")
+        prev = f"r{k}"
+    return f"""
+WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+cite AS (
+  SELECT doc_id, source AS src, ({hexint}) % n_docs AS cited_id
+  FROM documents CROSS JOIN n),
+edges AS (
+  SELECT c.src, t.source AS dst, count(*)::BIGINT AS w
+  FROM cite c JOIN documents t ON t.doc_id = c.cited_id
+  WHERE c.src <> t.source GROUP BY 1, 2),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::BIGINT AS n_nodes FROM nodes),
+deg AS (SELECT src, sum(w)::BIGINT AS d FROM edges GROUP BY 1),
+r0 AS (SELECT host, ({scale} // n_nodes)::BIGINT AS rank FROM nodes CROSS JOIN nn),{",".join(iters)}
+SELECT host, rank FROM {prev} ORDER BY host
+"""
+
+
+def _sql_cms_freq(width: int = 1024, depth: int = 4) -> str:
+    """DuckDB twin of q_cms_freq — same md5 buckets, same min-over-rows."""
+    from document_extraction_spark.operators.cms import SQL_BUCKET
+
+    def b(r: int, c: str) -> str:
+        return SQL_BUCKET.format(r=r, c=c, w=width)
+
+    sk_rows = "\n  UNION ALL ".join(
+        f"SELECT {r} AS row, {b(r, 'token')} AS bucket FROM tok" for r in range(depth)
+    )
+    pb_rows = "\n  UNION ALL ".join(
+        f"SELECT token, {r} AS row, {b(r, 'token')} AS bucket FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+WITH toks0 AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+tok AS (SELECT unnest(tk) AS token FROM toks0),
+true_c AS (SELECT token, count(*)::BIGINT AS true_cnt FROM tok GROUP BY 1),
+probes AS (SELECT token, true_cnt FROM true_c),
+sk AS ({sk_rows}),
+cells AS (SELECT row, bucket, count(*)::BIGINT AS cnt FROM sk GROUP BY 1, 2),
+pb AS ({pb_rows}),
+est AS (
+  SELECT pb.token, min(coalesce(c.cnt, 0))::BIGINT AS est_cnt
+  FROM pb LEFT JOIN cells c USING (row, bucket) GROUP BY 1)
+SELECT p.token, p.true_cnt, e.est_cnt
+FROM probes p JOIN est e USING (token) ORDER BY token
 """
 
 
@@ -2473,6 +2584,8 @@ def _oracle_sql_literals() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
             ORDER BY doc_id
         """,
+        "q_host_pagerank": _sql_pagerank(),
+        "q_cms_freq": _sql_cms_freq(),
         "q_zorder_curve": f"""
             WITH b AS (
               SELECT min(user_id::DOUBLE) AS ux_lo, max(user_id::DOUBLE) AS ux_hi,
