@@ -373,6 +373,22 @@ def q_cms_freq(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD2 dimension history from the events change log (operators/scd2.py):
+    per user, event_type runs become validity intervals [valid_from,
+    valid_to) with an open current version — ONE window shuffle, consecutive
+    no-change rows collapsed, event_id tie-break for engine-exact
+    intervals."""
+    from document_extraction_spark.operators import scd2 as S2
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return (
+        S2.scd2_from_log(ev, key="user_id", attr="event_type", ts="ts",
+                         seq="event_id")
+        .orderBy("user_id", "valid_from")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a 'new batch' (doc_id % 5 == 0) against a
     persisted corpus LSH index (built from the other 80% and round-tripped
@@ -2144,15 +2160,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_curve": q_zorder_curve,                  # new r5
         "q_host_pagerank": q_host_pagerank,                # new r5
         "q_cms_freq": q_cms_freq,                          # new r5
+        "q_scd2_history": q_scd2_history,                  # new r5
         "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_embedding_centroids": q_embedding_centroids,
-        "q_variant_shred": q_variant_shred,
-        "q_exists_urgent": q_exists_urgent,
-        "q_lateral_latest_order": q_lateral_latest_order,
-        "q_window_distribution": q_window_distribution,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_variant_shred": q_variant_shred,        # rotated out r5 (green r3+r4)
+        "q_exists_urgent": q_exists_urgent,        # rotated out r5 (green r3+r4)
+        "q_lateral_latest_order": q_lateral_latest_order,  # rotated out r5 (green r3+r4)
+        "q_window_distribution": q_window_distribution,    # rotated out r5 (green r3+r4)
         "q_try_arithmetic": q_try_arithmetic,      # rotated out r5 (green r2+r4)
         "q_stats_aggs": q_stats_aggs,              # rotated out r5 (green r3+r4)
         "q_event_sequences": q_event_sequences,    # rotated out r5 (green r2+r4)
@@ -2586,6 +2603,22 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q_host_pagerank": _sql_pagerank(),
         "q_cms_freq": _sql_cms_freq(),
+        "q_scd2_history": """
+            WITH runs AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            heads AS (
+              SELECT user_id, event_type, ts, event_id FROM runs
+              WHERE prev IS NULL OR prev <> event_type),
+            iv AS (
+              SELECT user_id, event_type, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+              FROM heads)
+            SELECT user_id, event_type, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM iv ORDER BY user_id, valid_from
+        """,
         "q_zorder_curve": f"""
             WITH b AS (
               SELECT min(user_id::DOUBLE) AS ux_lo, max(user_id::DOUBLE) AS ux_hi,
