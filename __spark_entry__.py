@@ -389,6 +389,81 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / CDC (operators/cdc.py): exact (insert, update,
+    delete) change set between two deterministic snapshots of orders —
+    snapA drops o_orderkey % 11 == 3, snapB drops % 13 == 5 and bumps
+    o_totalprice by +10.0 when % 4 == 0 (IEEE-exact, no rounding). ONE
+    full-outer shuffle carrying map-side row hashes; output is delta-sized."""
+    from document_extraction_spark.operators import cdc
+
+    o = _t(spark, sf_dir, "orders")
+    snap_a = o.where(F.col("o_orderkey") % 11 != 3)
+    snap_b = o.where(F.col("o_orderkey") % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    cols = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    return cdc.snapshot_diff(snap_a, snap_b, ["o_orderkey"], cols).orderBy(
+        "o_orderkey"
+    )
+
+
+def q_lm_quality(spark, sf_dir):
+    """Corpus-trained char-trigram LM quality score per document
+    (operators/lm_score.py, CCNet-style perplexity filtering): integer-exact
+    scaled probability mass + bits-per-trigram from exact-decimal sums of
+    rounded log2 terms. Model key space is alphabet-bounded (broadcast at
+    any corpus size)."""
+    from document_extraction_spark.operators import lm_score as LM
+
+    return LM.lm_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter runtime join pruning (operators/bloom.py): build a
+    16384-bit / 3-hash filter over high-value order keys (o_totalprice >
+    475000), prefilter the lineitem fact's distinct order keys map-side,
+    and flag which survivors are true members — no false negatives by
+    construction, false positives bounded by the filter load. The md5
+    bucket math is engine-exact, so every verdict hash-verifies."""
+    from document_extraction_spark.operators import bloom
+
+    members = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 475000.0)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    bf = bloom.bloom_build(members, "k")
+    probes = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    passed = bloom.bloom_prefilter(probes, "k", bf)
+    return (
+        passed.join(members.withColumn("truly_in", F.lit(True)), "k", "left")
+        .select(
+            F.col("k").alias("orderkey"),
+            F.coalesce(F.col("truly_in"), F.lit(False)).alias("truly_in"),
+        )
+        .orderBy("orderkey")
+    )
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase search over the documents corpus
+    (operators/search.py phrase_search): every (doc_id, start_pos) where
+    'slow hash batch' occurs in token order — postings filtered to the
+    phrase terms BEFORE the single shuffle."""
+    from document_extraction_spark.operators.search import phrase_search
+
+    return phrase_search(
+        _t(spark, sf_dir, "documents"), ["slow", "hash", "batch"]
+    ).orderBy("doc_id", "start_pos")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a 'new batch' (doc_id % 5 == 0) against a
     persisted corpus LSH index (built from the other 80% and round-tripped
@@ -2115,8 +2190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,  # new r5: oracle-verified image decode
         "q_audio_decode": q_audio_decode,  # new r5: oracle-verified WAV decode
         "q_video_frames": q_video_frames,  # new r5: oracle-verified frame sample
-        "q_range_join": q_range_join,
-        "q_map_in_arrow": q_map_in_arrow,
+        "q_snapshot_diff": q_snapshot_diff,                # new r5: CDC diff
+        "q_lm_quality": q_lm_quality,                      # new r5: trigram LM
+        "q_bloom_prefilter": q_bloom_prefilter,            # new r5: runtime filter
+        "q_phrase_search": q_phrase_search,                # new r5: positional
         "q_ann_topk": q_ann_topk,  # back in-window r5: now the arrow matmul kernel
         # -- ... and 15 rows-only (streaming / binary / media / UDTF / ANN)
         "x_extract_documents_full": x_extract_documents_full,
@@ -2134,10 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hll_sketches": x_hll_sketches,
         "x_hll_persist": x_hll_persist,  # new r4: sketch-state round-trip
         # -- (b) fixed / new this round
-        "q_structured_nested": q_structured_nested,
         "q_stratified_sample": q_stratified_sample,
         "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,
-        "q_host_aggregation": q_host_aggregation,
         "q_pack_context": q_pack_context,
         "q_context_window": q_context_window,
         "q_decontaminate": q_decontaminate,
@@ -2166,6 +2241,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_range_join": q_range_join,              # rotated out r5 (green r3+r4)
+        "q_map_in_arrow": q_map_in_arrow,          # rotated out r5 (green r3+r4)
+        "q_structured_nested": q_structured_nested,  # rotated out r5 (green r3+r4)
+        "q_host_aggregation": q_host_aggregation,  # rotated out r5 (green r3+r4)
         "q_variant_shred": q_variant_shred,        # rotated out r5 (green r3+r4)
         "q_exists_urgent": q_exists_urgent,        # rotated out r5 (green r3+r4)
         "q_lateral_latest_order": q_lateral_latest_order,  # rotated out r5 (green r3+r4)
@@ -2328,6 +2407,45 @@ est AS (
   FROM pb LEFT JOIN cells c USING (row, bucket) GROUP BY 1)
 SELECT p.token, p.true_cnt, e.est_cnt
 FROM probes p JOIN est e USING (token) ORDER BY token
+"""
+
+
+def _sql_bloom_prefilter(m_bits: int = 16384, k: int = 3) -> str:
+    """DuckDB twin of q_bloom_prefilter — same md5 buckets, same 32-bit
+    word lanes, same k-of-k membership test."""
+
+    def bucket(i: int, c: str) -> str:
+        return (
+            f"(('0x' || substr(md5('bf{i}:' || {c}::VARCHAR), 1, 13))::BIGINT"
+            f" % {m_bits})"
+        )
+
+    probe_rows = "\n  UNION ALL ".join(
+        f"SELECT k, {i} AS i, {bucket(i, 'k')} AS pos FROM probes" for i in range(k)
+    )
+    member_rows = "\n  UNION ALL ".join(
+        f"SELECT {bucket(i, 'k')} AS pos FROM members" for i in range(k)
+    )
+    return f"""
+WITH members AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 475000.0),
+probes AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+mpos AS ({member_rows}),
+words AS (
+  SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << (pos % 32)::INT) AS word
+  FROM mpos GROUP BY 1),
+pb AS ({probe_rows}),
+hits AS (
+  SELECT pb.k,
+         sum(CASE WHEN w.word IS NOT NULL
+                   AND ((w.word >> (pb.pos % 32)::INT) & 1) = 1
+             THEN 1 ELSE 0 END) AS nb
+  FROM pb LEFT JOIN words w ON w.word_idx = pb.pos // 32
+  GROUP BY pb.k)
+SELECT h.k AS orderkey, (m.k IS NOT NULL) AS truly_in
+FROM hits h LEFT JOIN members m ON m.k = h.k
+WHERE h.nb = {k}
+ORDER BY orderkey
 """
 
 
@@ -2618,6 +2736,90 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT user_id, event_type, valid_from, valid_to,
                    valid_to IS NULL AS is_current
             FROM iv ORDER BY user_id, valid_from
+        """,
+        "q_snapshot_diff": """
+            WITH snap_a AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 11 <> 3),
+            snap_b AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 10.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 13 <> 5),
+            j AS (
+              SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                     a.o_orderkey IS NOT NULL AS in_a,
+                     b.o_orderkey IS NOT NULL AS in_b,
+                     a.o_orderstatus AS old_o_orderstatus,
+                     a.o_totalprice AS old_o_totalprice,
+                     a.o_orderpriority AS old_o_orderpriority,
+                     b.o_orderstatus AS new_o_orderstatus,
+                     b.o_totalprice AS new_o_totalprice,
+                     b.o_orderpriority AS new_o_orderpriority
+              FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey)
+            SELECT o_orderkey,
+                   CASE WHEN NOT in_a THEN 'insert'
+                        WHEN NOT in_b THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   old_o_orderstatus, old_o_totalprice, old_o_orderpriority,
+                   new_o_orderstatus, new_o_totalprice, new_o_orderpriority
+            FROM j
+            WHERE NOT in_a OR NOT in_b
+               OR old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+               OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+               OR old_o_orderpriority IS DISTINCT FROM new_o_orderpriority
+            ORDER BY o_orderkey
+        """,
+        "q_lm_quality": """
+            WITH norm0 AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS n
+              FROM documents WHERE text IS NOT NULL),
+            norm AS (
+              SELECT doc_id, substr(n, 1, 2000) AS norm FROM norm0
+              WHERE length(substr(n, 1, 2000)) >= 3),
+            tg AS (
+              SELECT doc_id,
+                     unnest([substr(norm, i, 3)
+                             for i in generate_series(1, length(norm) - 2)]) AS tg
+              FROM norm),
+            c3 AS (SELECT tg, count(*)::BIGINT AS c3 FROM tg GROUP BY 1),
+            c2 AS (SELECT substr(tg, 1, 2) AS ctx, count(*)::BIGINT AS c2
+                   FROM tg GROUP BY 1),
+            dk AS (SELECT doc_id, tg, count(*)::BIGINT AS k FROM tg GROUP BY 1, 2),
+            terms AS (
+              SELECT dk.doc_id, dk.k,
+                     ((1000000 * (c3.c3 + 1)) // (c2.c2 + 27))::BIGINT AS p_micro,
+                     round(log2((c3.c3 + 1.0) / (c2.c2 + 27.0)), 5)::DECIMAL(18,5) AS bits
+              FROM dk JOIN c3 USING (tg)
+              JOIN c2 ON c2.ctx = substr(dk.tg, 1, 2))
+            SELECT doc_id, sum(k)::BIGINT AS n_tg,
+                   sum(k * p_micro)::BIGINT AS sum_p_micro,
+                   (round(-(sum(k * bits)::DOUBLE) / (sum(k)::DOUBLE), 4) + 0.0)
+                     AS avg_bits
+            FROM terms GROUP BY 1 ORDER BY doc_id
+        """,
+        "q_bloom_prefilter": _sql_bloom_prefilter(),
+        "q_phrase_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents WHERE text IS NOT NULL),
+            pos AS (
+              SELECT doc_id, unnest(tk) AS term,
+                     generate_subscripts(tk, 1) - 1 AS pos
+              FROM toks),
+            needles(term, off) AS (VALUES ('slow', 0), ('hash', 1), ('batch', 2)),
+            hits AS (
+              SELECT p.doc_id, p.pos - n.off AS start_pos, n.off
+              FROM pos p JOIN needles n USING (term)
+              WHERE p.pos - n.off >= 0)
+            SELECT doc_id, start_pos
+            FROM hits GROUP BY 1, 2 HAVING count(DISTINCT off) = 3
+            ORDER BY doc_id, start_pos
         """,
         "q_zorder_curve": f"""
             WITH b AS (

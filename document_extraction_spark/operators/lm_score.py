@@ -1,0 +1,119 @@
+"""Character n-gram language-model quality scoring (CCNet / KenLM-style):
+train a char-trigram model ON the corpus itself, then score every document by
+its bits-per-trigram under that model. Gibberish, boilerplate-mangled, and
+wrong-language text all sit in the high-surprisal tail, which is exactly the
+tail a training-data pipeline cuts (Wenzek et al. 2020 filter CommonCrawl by
+LM perplexity the same way — here the LM is self-trained so no external model
+ships with the job).
+
+Distributed shape (three shuffles, all bounded):
+- trigram tokens are generated MAP-SIDE (transform over a sequence — pure
+  codegen, no Python) from a capped prefix of each document; the cap both
+  bounds skew from monster documents and sidesteps the quadratic
+  char-indexed-substr trap pinned in PLANS.md rule 7;
+- the model is two groupBy counts whose key spaces are bounded by the
+  alphabet (<= 27^3 trigrams, <= 27^2 contexts) REGARDLESS of corpus size —
+  at 100 TB the model tables are still a few thousand rows, broadcast to
+  every probe;
+- per-doc scoring joins (doc_id, trigram, k) against the broadcast model and
+  reduces with one exact-decimal sum per doc.
+
+Determinism / oracle story: probabilities are rationals
+p = (c3+1)/(c2+|A|) (add-one smoothing, |A| = 27 for [a-z ]); the query
+emits (a) ``sum_p_micro`` — an INTEGER-exact floor-scaled probability mass
+(BIGINT floor division, engine-exact like operators/graphrank.py) and (b)
+``avg_bits`` — true bits-per-trigram where each term is round(log2(p), 5)
+summed as DECIMAL (exact, order-independent). The only cross-engine risk is
+a log2 landing within ~1 ulp of a 1e-5 rounding boundary (StrictMath vs
+libm), ~5e-10 per distinct model cell — the same accepted residual class as
+the A-ES rounded rank key (ADVICE r4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHABET = 27  # a-z + space after normalization
+MAX_CHARS = 2000  # score the document prefix; bounds per-row work and skew
+
+
+def _normed(df: DataFrame, text_col: str, max_chars: int) -> DataFrame:
+    """doc_id + normalized scoring prefix: lowercase, non-[a-z ] -> space,
+    runs of spaces collapsed, trimmed, capped at max_chars."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", " "), " +", " "
+        )
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select("doc_id", F.substring(norm, 1, max_chars).alias("norm"))
+        .where(F.length("norm") >= 3)
+    )
+
+
+def _trigrams(df: DataFrame) -> DataFrame:
+    """(doc_id, tg) trigram tokens — map-only codegen (sequence+transform),
+    no Python, no shuffle."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
+        ).alias("tg"),
+    )
+
+
+def trigram_model(docs: DataFrame, text_col: str = "text",
+                  max_chars: int = MAX_CHARS) -> tuple[DataFrame, DataFrame]:
+    """Corpus model: (trigram counts c3, context counts c2). Both key spaces
+    are alphabet-bounded, so the two count shuffles produce tiny,
+    broadcastable tables at any corpus size."""
+    tg = _trigrams(_normed(docs, text_col, max_chars))
+    c3 = tg.groupBy("tg").agg(F.count("*").alias("c3"))
+    c2 = (
+        tg.select(F.substring("tg", 1, 2).alias("ctx"))
+        .groupBy("ctx")
+        .agg(F.count("*").alias("c2"))
+    )
+    return c3, c2
+
+
+def lm_score(docs: DataFrame, text_col: str = "text",
+             max_chars: int = MAX_CHARS) -> DataFrame:
+    """Per-document LM quality score under the corpus-trained trigram model:
+    (doc_id, n_tg, sum_p_micro, avg_bits) — avg_bits is bits-per-trigram
+    (lower = more predictable = more natural text), sum_p_micro the
+    integer-exact scaled probability mass (higher = more predictable).
+    """
+    c3, c2 = trigram_model(docs, text_col, max_chars)
+    dk = (
+        _trigrams(_normed(docs, text_col, max_chars))
+        .groupBy("doc_id", "tg")
+        .agg(F.count("*").alias("k"))
+    )
+    terms = (
+        dk.join(F.broadcast(c3), "tg")
+        .withColumn("ctx", F.substring("tg", 1, 2))
+        .join(F.broadcast(c2), "ctx")
+        .select(
+            "doc_id",
+            "k",
+            F.expr(f"(1000000 * (c3 + 1)) div (c2 + {ALPHABET})").alias("p_micro"),
+            F.round(
+                F.log2((F.col("c3") + 1).cast("double") / (F.col("c2") + ALPHABET)), 5
+            ).cast("decimal(18,5)").alias("bits"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("k").alias("n_tg"),
+        F.sum(F.col("k") * F.col("p_micro")).alias("sum_p_micro"),
+        (
+            F.round(
+                -F.sum(F.col("k") * F.col("bits")).cast("double")
+                / F.sum("k").cast("double"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("avg_bits"),
+    )

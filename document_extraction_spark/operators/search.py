@@ -71,6 +71,49 @@ def inverted_index(
     )
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching over positional postings: (doc_id, start_pos)
+    for every token position where the full phrase occurs in order,
+    start_pos 0-based over the whitespace token sequence.
+
+    Plan shape: posexplode is map-only; the ``isin(phrase)`` filter lands
+    BEFORE the shuffle (only the phrase terms' postings move, not the
+    corpus); the broadcast (term, offset) table maps each hit to its
+    candidate start (p - offset), correctly handling repeated terms inside
+    the phrase; ONE groupBy((doc_id, start)) then keeps starts covering
+    every distinct offset. This is the classic positional-index phrase
+    intersection (Manning et al., IR ch. 2) as a single bounded shuffle —
+    no self-join chain, so an n-word phrase costs the same one exchange as
+    a 2-word phrase."""
+    q = [t.lower() for t in phrase]
+    needles = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(t, i) for i, t in enumerate(q)], "term string, offset int"
+        )
+    )
+    hits = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+        )
+        .where(F.col("term").isin(q))
+        .join(needles, "term")
+        .select("doc_id", (F.col("pos") - F.col("offset")).alias("start_pos"), "offset")
+        .where(F.col("start_pos") >= 0)
+    )
+    return (
+        hits.groupBy("doc_id", "start_pos")
+        .agg(F.countDistinct("offset").alias("_cov"))
+        .where(F.col("_cov") == len(q))
+        .drop("_cov")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
