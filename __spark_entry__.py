@@ -464,6 +464,72 @@ def q_phrase_search(spark, sf_dir):
     ).orderBy("doc_id", "start_pos")
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/hybrid_search.py): BM25 sparse leg fused
+    with the exact-cosine dense leg by integer-exact reciprocal-rank fusion
+    (1e6 div (60+rank) per leg). Absent-leg ranks normalize to 0 so the
+    output stays integer-typed on both engines."""
+    from document_extraction_spark.operators.hybrid_search import hybrid_search
+
+    out = hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        ["spark", "window", "merge"],
+        query_vec_id=7,
+        k_each=50,
+        top=20,
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("sparse_rank", F.lit(0)).alias("sparse_rank"),
+        F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        "rrf_micro",
+    ).orderBy(F.col("rrf_micro").desc(), "doc_id")
+
+
+def q_outlier_events(spark, sf_dir):
+    """Robust per-event-type outlier detection (operators/outliers.py):
+    rank-exact lower-median + MAD (no quantile interpolation, so every
+    intermediate is engine-exact); flags |value - med| > 3 * MAD."""
+    from document_extraction_spark.operators.outliers import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return robust_outliers(ev, "event_type", "value", "event_id").orderBy(
+        "event_id"
+    )
+
+
+def q_manifest_prune(spark, sf_dir):
+    """Manifest-based file pruning (operators/manifest.py): stage events
+    into 16 ts-ranged files, build the (file, min, max) manifest in one
+    scan, then answer a ts-range query reading ONLY intersecting files —
+    the oracle proves the pruned read is row-identical to a full-scan
+    filter (data skipping is conservative)."""
+    import datetime as _dt
+    import tempfile
+
+    from document_extraction_spark.operators import manifest as MAN
+
+    path = tempfile.mkdtemp(prefix="manifest_") + "/events"
+    (
+        _t(spark, sf_dir, "events")
+        .repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    man = MAN.build_manifest(spark, path, ["ts"])
+    lo = _dt.datetime(2024, 1, 10)
+    hi = _dt.datetime(2024, 1, 13)
+    n_files = len(MAN.pruned_files(man, "ts", lo, hi))
+    assert n_files < 16, f"pruning read all {n_files} files"
+    return (
+        MAN.pruned_read(spark, path, man, "ts", lo, hi)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup of a 'new batch' (doc_id % 5 == 0) against a
     persisted corpus LSH index (built from the other 80% and round-tripped
@@ -2214,13 +2280,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,
         "q_pack_context": q_pack_context,
-        "q_context_window": q_context_window,
+        "q_hybrid_rrf": q_hybrid_rrf,                      # new r5: RRF fusion
+        "q_outlier_events": q_outlier_events,              # new r5: MAD outliers
+        "q_manifest_prune": q_manifest_prune,              # new r5: data skipping
         "q_decontaminate": q_decontaminate,
         "q_repetition_signals": q_repetition_signals,
         "q_inverted_index": q_inverted_index,
         "q_bm25_topk": q_bm25_topk,
-        "q_url_dedup": q_url_dedup,
-        "q_boilerplate_spans": q_boilerplate_spans,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
@@ -2241,6 +2307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_context_window": q_context_window,      # rotated out r5 (green r3+r4)
+        "q_url_dedup": q_url_dedup,                # rotated out r5 (green r3+r4)
+        "q_boilerplate_spans": q_boilerplate_spans,  # rotated out r5 (green r3+r4)
         "q_range_join": q_range_join,              # rotated out r5 (green r3+r4)
         "q_map_in_arrow": q_map_in_arrow,          # rotated out r5 (green r3+r4)
         "q_structured_nested": q_structured_nested,  # rotated out r5 (green r3+r4)
@@ -2736,6 +2805,76 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT user_id, event_type, valid_from, valid_to,
                    valid_to IS NULL AS is_current
             FROM iv ORDER BY user_id, valid_from
+        """,
+        "q_hybrid_rrf": f"""
+            WITH pairs AS (
+              SELECT doc_id, unnest({TS.SQL_TOKENS.format(c='lower(text)')}) AS term
+              FROM documents),
+            dl AS (SELECT doc_id, {TS.SQL_TOKEN_COUNT.format(c='lower(text)')}::BIGINT
+                          AS dl_raw FROM documents),
+            stats AS (SELECT sum(dl_raw)::DOUBLE / count(*) AS avgdl,
+                             count(*)::DOUBLE AS n_docs FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM pairs
+                   WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl_raw::DOUBLE / stats.avgdl))
+                       AS term_score
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+            bm AS (SELECT doc_id, round(sum(term_score), 4) + 0.0 AS score
+                   FROM scored GROUP BY doc_id
+                   ORDER BY score DESC, doc_id LIMIT 50),
+            sparse AS (SELECT doc_id,
+                              row_number() OVER (ORDER BY score DESC, doc_id) AS sparse_rank
+                       FROM bm),
+            dense0 AS (
+              SELECT a.vec_id AS doc_id, {_SQL_COS} AS raw
+              FROM embeddings a JOIN embeddings b
+                ON b.vec_id = 7 AND a.vec_id <> 7),
+            dense AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY raw DESC, doc_id) AS dense_rank
+              FROM dense0 QUALIFY dense_rank <= 50),
+            j AS (
+              SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+                     s.sparse_rank, d.dense_rank
+              FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+            SELECT doc_id,
+                   coalesce(sparse_rank, 0)::INT AS sparse_rank,
+                   coalesce(dense_rank, 0)::INT AS dense_rank,
+                   (coalesce(1000000 // (60 + sparse_rank), 0)
+                    + coalesce(1000000 // (60 + dense_rank), 0))::BIGINT AS rrf_micro
+            FROM j ORDER BY rrf_micro DESC, doc_id LIMIT 20
+        """,
+        "q_outlier_events": """
+            WITH e AS (SELECT event_id, event_type, value FROM events),
+            r AS (SELECT *,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY value, event_id) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM e),
+            med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+            dev AS (SELECT e.*, med.med, abs(e.value - med.med) AS adev
+                    FROM e JOIN med USING (event_type)),
+            r2 AS (SELECT *,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY adev, event_id) AS rn2,
+                          count(*) OVER (PARTITION BY event_type) AS n2
+                   FROM dev),
+            mad AS (SELECT event_type, adev AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+            SELECT event_id, event_type, value, med, mad
+            FROM dev JOIN mad USING (event_type)
+            WHERE adev > 3.0 * mad
+            ORDER BY event_id
+        """,
+        "q_manifest_prune": """
+            SELECT event_id, ts, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-13 00:00:00'
+            ORDER BY event_id
         """,
         "q_snapshot_diff": """
             WITH snap_a AS (
