@@ -2236,6 +2236,63 @@ def x_synth_source(spark, sf_dir):
     )
 
 
+def q_agg_state(spark, sf_dir):
+    """Incremental aggregation state (operators/agg_state.py): per-key
+    (cnt, exact-decimal sum, min, max) state built on two disjoint batches,
+    round-tripped through parquet, merged, finalized — the oracle recomputes
+    the same metrics from the FULL table in one shot, proving incremental
+    == rebuild (the sketch-state pattern for plain algebraic aggregates)."""
+    import tempfile
+
+    from document_extraction_spark.operators import agg_state as AS
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    root = tempfile.mkdtemp(prefix="agg_state_")
+    AS.agg_state_build(
+        o.where(F.col("o_orderkey") % 3 != 0), keys, "o_totalprice"
+    ).write.parquet(f"{root}/b1")
+    AS.agg_state_build(
+        o.where(F.col("o_orderkey") % 3 == 0), keys, "o_totalprice"
+    ).write.parquet(f"{root}/b2")
+    merged = AS.agg_state_merge(
+        spark.read.parquet(f"{root}/b1"), spark.read.parquet(f"{root}/b2")
+    )
+    return AS.agg_state_finalize(merged).orderBy(*keys)
+
+
+def x_transcript_qc(spark, sf_dir):
+    """Per-conversation structural QC over the synthetic transcript source
+    (operators/transcript_qc.py): contiguity, duplicate turns, role
+    alternation, tool tagging, ts monotonicity, empty text — one window +
+    one groupBy, both on conv_id. Rows-only (the synth source is not
+    SQL-reachable); the per-check semantics are pytest-pinned in
+    tests/test_agg_state_qc.py."""
+    from document_extraction_spark.operators.transcript_qc import transcript_qc
+    from document_extraction_spark.sources.synthsource import register_synth_source
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("transcripts_synth")
+        .option("n_partitions", 4)
+        .option("convs_per_partition", 8)
+        .option("seed", 7)
+        .load()
+    )
+    qc = transcript_qc(df)
+    return (
+        qc.groupBy("qc_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("same_role_runs").alias("same_role_runs"),
+            F.sum("empty_turns").alias("empty_turns"),
+            F.sum("gap_turns").alias("gap_turns"),
+            F.sum("dup_turns").alias("dup_turns"),
+        )
+        .orderBy("qc_ok")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry.  ORDER MATTERS: the driver verifies the FIRST 50
     entries only (hard cut observed since round 2), so the window follows
@@ -2284,8 +2341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outlier_events": q_outlier_events,              # new r5: MAD outliers
         "q_manifest_prune": q_manifest_prune,              # new r5: data skipping
         "q_decontaminate": q_decontaminate,
-        "q_repetition_signals": q_repetition_signals,
-        "q_inverted_index": q_inverted_index,
+        "q_agg_state": q_agg_state,                        # new r5: incr. aggs
+        "x_transcript_qc": x_transcript_qc,                # new r5: QC (rows)
         "q_bm25_topk": q_bm25_topk,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill": q_gap_fill,
@@ -2307,6 +2364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_repetition_signals": q_repetition_signals,  # rotated out r5 (green r3+r4)
+        "q_inverted_index": q_inverted_index,      # rotated out r5 (green r3+r4)
         "q_context_window": q_context_window,      # rotated out r5 (green r3+r4)
         "q_url_dedup": q_url_dedup,                # rotated out r5 (green r3+r4)
         "q_boilerplate_spans": q_boilerplate_spans,  # rotated out r5 (green r3+r4)
@@ -2805,6 +2864,14 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT user_id, event_type, valid_from, valid_to,
                    valid_to IS NULL AS is_current
             FROM iv ORDER BY user_id, valid_from
+        """,
+        "q_agg_state": """
+            SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
+                   round(sum(o_totalprice::DECIMAL(28,4)), 2)::DOUBLE AS sum_v,
+                   min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+                   (round((sum(o_totalprice::DECIMAL(28,4))::DOUBLE)
+                          / (count(*)::DOUBLE), 4) + 0.0) AS avg_v
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_hybrid_rrf": f"""
             WITH pairs AS (
