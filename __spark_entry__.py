@@ -2261,6 +2261,20 @@ def q_agg_state(spark, sf_dir):
     return AS.agg_state_finalize(merged).orderBy(*keys)
 
 
+def q_quantized_ann(spark, sf_dir):
+    """Int8-quantized vector search (operators/quantization.py): symmetric
+    per-vector codes, ranking by the INTEGER-exact signed
+    sign(dot) * (1e5 * dot^2) div (n2*qn2) surrogate — the whole
+    approximate ranking hash-verifies across engines (recall vs the exact
+    float ranking is pinned in pytest)."""
+    from document_extraction_spark.operators import quantization as QZ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return QZ.quantized_topk(emb, emb.where(F.col("vec_id") < 5), k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
 def x_transcript_qc(spark, sf_dir):
     """Per-conversation structural QC over the synthetic transcript source
     (operators/transcript_qc.py): contiguity, duplicate turns, role
@@ -2343,9 +2357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_agg_state": q_agg_state,                        # new r5: incr. aggs
         "x_transcript_qc": x_transcript_qc,                # new r5: QC (rows)
+        "q_quantized_ann": q_quantized_ann,                # new r5: int8 ANN
         "q_bm25_topk": q_bm25_topk,
         "q_token_budget_mix": q_token_budget_mix,
-        "q_gap_fill": q_gap_fill,
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
         "q_sliding_chunks": q_sliding_chunks,              # new r4
         "q_weighted_sample": q_weighted_sample,            # new r4
@@ -2364,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_gap_fill": q_gap_fill,                  # rotated out r5 (green r3+r4)
         "q_repetition_signals": q_repetition_signals,  # rotated out r5 (green r3+r4)
         "q_inverted_index": q_inverted_index,      # rotated out r5 (green r3+r4)
         "q_context_window": q_context_window,      # rotated out r5 (green r3+r4)
@@ -2864,6 +2879,43 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT user_id, event_type, valid_from, valid_to,
                    valid_to IS NULL AS is_current
             FROM iv ORDER BY user_id, valid_from
+        """,
+        "q_quantized_ann": """
+            WITH codes0 AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS amax,
+                     embedding
+              FROM embeddings),
+            codes1 AS (
+              SELECT vec_id,
+                     CASE WHEN amax > 0
+                       THEN list_transform(embedding,
+                            v -> floor((v::DOUBLE * 127) / amax)::BIGINT)
+                       ELSE list_transform(embedding, v -> 0::BIGINT)
+                     END AS codes
+              FROM codes0),
+            cn AS (
+              SELECT vec_id, codes,
+                     list_aggregate(list_transform(codes, c -> c * c), 'sum')::BIGINT AS n2
+              FROM codes1),
+            pairs AS (
+              SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+                     list_aggregate(list_transform(list_zip(a.codes, b.codes),
+                                                   p -> p[1] * p[2]), 'sum')::BIGINT AS dot,
+                     a.n2 AS an2, b.n2 AS bn2
+              FROM cn a JOIN cn b ON b.vec_id < 5 AND a.vec_id <> b.vec_id),
+            scored AS (
+              SELECT query_id, vec_id,
+                     CASE WHEN an2 = 0 OR bn2 = 0 THEN 0
+                          WHEN dot < 0 THEN -((100000 * dot * dot) // (an2 * bn2))
+                          ELSE (100000 * dot * dot) // (an2 * bn2)
+                     END AS score_e5
+              FROM pairs)
+            SELECT query_id, vec_id, score_e5,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_e5 DESC, vec_id) AS rank
+            FROM scored QUALIFY rank <= 10
+            ORDER BY query_id, rank
         """,
         "q_agg_state": """
             SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
