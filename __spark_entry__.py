@@ -2275,6 +2275,23 @@ def q_quantized_ann(spark, sf_dir):
     )
 
 
+def q_template_mining(spark, sf_dir):
+    """Boilerplate template mining at two granularities
+    (operators/templates.py): Drain-style whole-message templating over the
+    events props payloads (10k parameterized JSON messages collapse to
+    their template) UNION token-3-gram slot templates over the documents
+    corpus — digit runs -> '#', one groupBy(template) per level."""
+    from document_extraction_spark.operators import templates as TPL
+
+    ev = TPL.mine_message_templates(
+        _t(spark, sf_dir, "events"), "user_id", "props", min_df=2
+    ).withColumn("level", F.lit("message"))
+    dg = TPL.mine_gram_templates(
+        _t(spark, sf_dir, "documents"), n=3, min_df=5
+    ).withColumn("level", F.lit("gram3"))
+    return ev.unionByName(dg).orderBy("level", "template")
+
+
 def x_transcript_qc(spark, sf_dir):
     """Per-conversation structural QC over the synthetic transcript source
     (operators/transcript_qc.py): contiguity, duplicate turns, role
@@ -2349,7 +2366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hll_persist": x_hll_persist,  # new r4: sketch-state round-trip
         # -- (b) fixed / new this round
         "q_stratified_sample": q_stratified_sample,
-        "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,
         "q_pack_context": q_pack_context,
         "q_hybrid_rrf": q_hybrid_rrf,                      # new r5: RRF fusion
         "q_outlier_events": q_outlier_events,              # new r5: MAD outliers
@@ -2358,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_state": q_agg_state,                        # new r5: incr. aggs
         "x_transcript_qc": x_transcript_qc,                # new r5: QC (rows)
         "q_quantized_ann": q_quantized_ann,                # new r5: int8 ANN
+        "q_template_mining": q_template_mining,            # new r5: templating
         "q_bm25_topk": q_bm25_topk,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
@@ -2378,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,  # rotated out r5 (green r3+r4)
         "q_gap_fill": q_gap_fill,                  # rotated out r5 (green r3+r4)
         "q_repetition_signals": q_repetition_signals,  # rotated out r5 (green r3+r4)
         "q_inverted_index": q_inverted_index,      # rotated out r5 (green r3+r4)
@@ -2916,6 +2934,43 @@ def _oracle_sql_literals() -> dict[str, str]:
                                       ORDER BY score_e5 DESC, vec_id) AS rank
             FROM scored QUALIFY rank <= 10
             ORDER BY query_id, rank
+        """,
+        "q_template_mining": f"""
+            WITH ev AS (
+              SELECT user_id, props,
+                     trim(regexp_replace(regexp_replace(lower(props),
+                          '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS template
+              FROM events WHERE props IS NOT NULL),
+            evt AS (
+              SELECT template, count(DISTINCT user_id)::BIGINT AS n_docs,
+                     count(*)::BIGINT AS n_occ,
+                     count(DISTINCT props)::BIGINT AS n_variants,
+                     'message' AS level
+              FROM ev GROUP BY 1 HAVING count(DISTINCT user_id) >= 2),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id,
+                     unnest([array_to_string(list_slice(tk, i, i + 2), ' ')
+                             for i in generate_series(1, len(tk) - 2)]) AS raw
+              FROM toks WHERE len(tk) >= 3),
+            dgt AS (
+              SELECT doc_id, raw,
+                     trim(regexp_replace(regexp_replace(lower(raw),
+                          '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS template
+              FROM grams),
+            dg AS (
+              SELECT template, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                     count(*)::BIGINT AS n_occ,
+                     count(DISTINCT raw)::BIGINT AS n_variants,
+                     'gram3' AS level
+              FROM dgt GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5)
+            SELECT template, n_docs, n_occ, n_variants, level
+            FROM (SELECT * FROM evt UNION ALL SELECT * FROM dg)
+            ORDER BY level, template
         """,
         "q_agg_state": """
             SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt,
