@@ -2292,6 +2292,33 @@ def q_template_mining(spark, sf_dir):
     return ev.unionByName(dg).orderBy("level", "template")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (operators/funnel.py): view -> click -> purchase,
+    each step's min-ts chained through per-user joins — every shuffle on
+    the user key, step events pre-filtered before their shuffle."""
+    from document_extraction_spark.operators.funnel import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    ).orderBy("step")
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention (operators/funnel.py): users bucketed by
+    first-seen Monday-aligned week, activity per (cohort, week-offset) —
+    integer date arithmetic only, hash-exact."""
+    from document_extraction_spark.operators.funnel import cohort_retention
+
+    return (
+        cohort_retention(_t(spark, sf_dir, "events"))
+        # timestamp, not date: pandas maps Spark DATE to object cells where
+        # DuckDB DATE lands as datetime64 — the driver's dtype-kind check
+        # would mismatch on values that are equal
+        .withColumn("cohort_week", F.col("cohort_week").cast("timestamp"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def x_transcript_qc(spark, sf_dir):
     """Per-conversation structural QC over the synthetic transcript source
     (operators/transcript_qc.py): contiguity, duplicate turns, role
@@ -2375,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_transcript_qc": x_transcript_qc,                # new r5: QC (rows)
         "q_quantized_ann": q_quantized_ann,                # new r5: int8 ANN
         "q_template_mining": q_template_mining,            # new r5: templating
+        "q_funnel": q_funnel,                              # new r5: funnels
+        "q_cohort_retention": q_cohort_retention,          # new r5: cohorts
         "q_bm25_topk": q_bm25_topk,
         "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
@@ -2383,18 +2412,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample_distributed": q_weighted_sample_distributed,  # new r5
         "q_semantic_decontaminate": q_semantic_decontaminate,  # new r4
         "q_corpus_drift": q_corpus_drift,                  # new r4
-        "q_batch_sessions": q_batch_sessions,
         "q_duplicate_spans": q_duplicate_spans,            # new r5
         "q_incremental_dedup": q_incremental_dedup,        # new r5
         "q_zorder_curve": q_zorder_curve,                  # new r5
         "q_host_pagerank": q_host_pagerank,                # new r5
         "q_cms_freq": q_cms_freq,                          # new r5
         "q_scd2_history": q_scd2_history,                  # new r5
-        "q_corpus_profile": q_corpus_profile,
         "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_batch_sessions": q_batch_sessions,      # rotated out r5 (green r3+r4)
+        "q_corpus_profile": q_corpus_profile,      # rotated out r5 (green r3+r4)
         "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,  # rotated out r5 (green r3+r4)
         "q_gap_fill": q_gap_fill,                  # rotated out r5 (green r3+r4)
         "q_repetition_signals": q_repetition_signals,  # rotated out r5 (green r3+r4)
@@ -2934,6 +2963,37 @@ def _oracle_sql_literals() -> dict[str, str]:
                                       ORDER BY score_e5 DESC, vec_id) AS rank
             FROM scored QUALIFY rank <= 10
             ORDER BY query_id, rank
+        """,
+        "q_funnel": """
+            WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+                   JOIN s1 ON s1.u = e.user_id AND e.ts >= s1.t
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+                   JOIN s2 ON s2.u = e.user_id AND e.ts >= s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT 1 AS step, 'view' AS step_name, count(*)::BIGINT AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'click', count(*)::BIGINT FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', count(*)::BIGINT FROM s3
+            ORDER BY step
+        """,
+        "q_cohort_retention": """
+            WITH weeks AS (
+              SELECT user_id AS u,
+                     CAST(ts AS DATE)
+                       - (((CAST(ts AS DATE) - DATE '1970-01-05') % 7)::INTEGER)
+                       AS week
+              FROM events),
+            first AS (SELECT u, min(week) AS cohort_week FROM weeks GROUP BY 1),
+            active AS (SELECT DISTINCT u, week FROM weeks)
+            SELECT cohort_week::TIMESTAMP AS cohort_week,
+                   ((week - cohort_week) // 7)::BIGINT AS week_offset,
+                   count(DISTINCT u)::BIGINT AS n_users
+            FROM active JOIN first USING (u)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_template_mining": f"""
             WITH ev AS (
