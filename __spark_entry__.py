@@ -2292,6 +2292,26 @@ def q_template_mining(spark, sf_dir):
     return ev.unionByName(dg).orderBy("level", "template")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed iterative BPE training (operators/bpe.py): 6 merge
+    rounds over the documents word table; the wrapped-symbol replace
+    formulation makes every round bit-identical across engines, so the
+    full merge table hash-verifies against an unrolled-CTE twin."""
+    from document_extraction_spark.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(_t(spark, sf_dir, "documents"), rounds=6).orderBy(
+        "rank"
+    )
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Subword vocabulary head after the 6 trained merges: top symbols by
+    corpus-weighted count (operators/bpe.py bpe_segment_counts)."""
+    from document_extraction_spark.operators.bpe import bpe_segment_counts
+
+    return bpe_segment_counts(_t(spark, sf_dir, "documents"), rounds=6, top=30)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (operators/funnel.py): view -> click -> purchase,
     each step's min-ts chained through per-user joins — every shuffle on
@@ -2392,7 +2412,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hll_sketches": x_hll_sketches,
         "x_hll_persist": x_hll_persist,  # new r4: sketch-state round-trip
         # -- (b) fixed / new this round
-        "q_stratified_sample": q_stratified_sample,
         "q_pack_context": q_pack_context,
         "q_hybrid_rrf": q_hybrid_rrf,                      # new r5: RRF fusion
         "q_outlier_events": q_outlier_events,              # new r5: MAD outliers
@@ -2404,8 +2423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_template_mining": q_template_mining,            # new r5: templating
         "q_funnel": q_funnel,                              # new r5: funnels
         "q_cohort_retention": q_cohort_retention,          # new r5: cohorts
+        "q_bpe_merges": q_bpe_merges,                      # new r5: BPE train
+        "q_bpe_vocab": q_bpe_vocab,                        # new r5: BPE vocab
         "q_bm25_topk": q_bm25_topk,
-        "q_token_budget_mix": q_token_budget_mix,
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
         "q_sliding_chunks": q_sliding_chunks,              # new r4
         "q_weighted_sample": q_weighted_sample,            # new r4
@@ -2422,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_stratified_sample": q_stratified_sample,  # rotated out r5 (green r3+r4)
+        "q_token_budget_mix": q_token_budget_mix,  # rotated out r5 (green r3+r4)
         "q_batch_sessions": q_batch_sessions,      # rotated out r5 (green r3+r4)
         "q_corpus_profile": q_corpus_profile,      # rotated out r5 (green r3+r4)
         "q_doc_fingerprint_dedup": q_doc_fingerprint_dedup,  # rotated out r5 (green r3+r4)
@@ -2597,6 +2619,56 @@ est AS (
   FROM pb LEFT JOIN cells c USING (row, bucket) GROUP BY 1)
 SELECT p.token, p.true_cnt, e.est_cnt
 FROM probes p JOIN est e USING (token) ORDER BY token
+"""
+
+
+def _sql_bpe_ctes(rounds: int = 6) -> str:
+    """Unrolled-CTE DuckDB twin of operators/bpe.py bpe_train (the PageRank
+    oracle pattern applied to iterative BPE): round r = pair counts over
+    w{r-1}'s segmentation -> best pair -> replace-based re-segmentation."""
+    parts = [
+        """w0 AS (
+  SELECT w, count(*)::BIGINT AS c,
+         array_to_string([ '<' || substr(w, i, 1) || '>'
+                           for i in generate_series(1, length(w))], '') AS s
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents WHERE text IS NOT NULL)
+  WHERE regexp_full_match(w, '[a-z]+') GROUP BY w)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""p{r} AS (
+  SELECT pair, sum(c)::BIGINT AS n FROM (
+    SELECT c, unnest([syms[i] || syms[i + 1]
+                      for i in generate_series(1, len(syms) - 1)]) AS pair
+    FROM (SELECT c, string_split(replace(s, '><', '> <'), ' ') AS syms
+          FROM w{p}) WHERE len(syms) >= 2)
+  GROUP BY pair),
+b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+w{r} AS (
+  SELECT w, c,
+         replace(s, b.pair,
+                 '<' || replace(replace(b.pair, '<', ''), '>', '') || '>') AS s
+  FROM w{p} CROSS JOIN b{r} b)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _sql_bpe_merges(rounds: int = 6) -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r} AS rank, pair, n FROM b{r}" for r in range(1, rounds + 1)
+    )
+    return f"{_sql_bpe_ctes(rounds)}\n{sel}\nORDER BY rank"
+
+
+def _sql_bpe_vocab(rounds: int = 6, top: int = 30) -> str:
+    return f"""{_sql_bpe_ctes(rounds)}
+SELECT symbol, count(*)::BIGINT AS n_words, sum(c)::BIGINT AS total_count
+FROM (
+  SELECT c, unnest(string_split(replace(s, '><', '> <'), ' ')) AS symbol
+  FROM w{rounds})
+GROUP BY symbol ORDER BY total_count DESC, symbol LIMIT {top}
 """
 
 
@@ -2964,6 +3036,8 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM scored QUALIFY rank <= 10
             ORDER BY query_id, rank
         """,
+        "q_bpe_merges": _sql_bpe_merges(),
+        "q_bpe_vocab": _sql_bpe_vocab(),
         "q_funnel": """
             WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),

@@ -1,0 +1,136 @@
+"""Distributed BPE (byte-pair-encoding) subword training — real iterative
+BPE (Sennrich et al. 2016), not a frequency-regex approximation: each round
+counts symbol pairs over the CURRENT corpus segmentation, merges the
+globally most frequent pair, and re-segments.
+
+Engine-exact formulation: a word's segmentation is a string of wrapped
+symbols, e.g. 'lower' -> '<l><o><w><e><r>'; merging pair ('<e>', '<r>') is
+``replace(seq, '<e><r>', '<er>')``. Both Spark and DuckDB ``replace`` scan
+left-to-right replacing non-overlapping occurrences — exactly BPE's greedy
+leftmost merge — and the '<...>' wrapping makes misaligned matches
+impossible ('<' occurs only at symbol starts, so a pattern can never match
+across a symbol boundary; space-separator encodings DO misalign, because a
+replacement consumes the boundary space the next occurrence needs). Merge
+selection ties break on (count desc, pair asc). Every round is therefore
+bit-identical across engines and the full merge table hash-verifies
+(unrolled-CTE DuckDB twin, same pattern as the PageRank oracle).
+
+Distributed shape per round:
+- pair counting: map-only pair explode over the word table (UNIQUE words
+  weighted by their corpus count — cost scales with |vocab|, not corpus
+  tokens) + ONE map-side-combinable groupBy(pair);
+- best-pair selection: orderBy(count desc, pair).limit(1) — a bounded
+  1-row driver collect per round (same class as the CC convergence sums);
+- re-segmentation: map-only replace.
+
+At 100 TB the word table is the standard trick (BPE trainers operate on
+word-frequency tables; Sennrich's reference implementation does exactly
+this), so R rounds cost R bounded shuffles over vocabulary-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from document_extraction_spark.functions.textstats import tokens
+
+ROUNDS = 6
+
+
+def _wrap_chars(col):
+    """'abc' -> '<a><b><c>' (codegen: transform over the char sequence)."""
+    return F.concat(
+        F.lit(""),
+        F.array_join(
+            F.transform(
+                F.split(col, ""), lambda ch: F.concat(F.lit("<"), ch, F.lit(">"))
+            ),
+            "",
+        ),
+    )
+
+
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, c, s): unique lowercase alphabetic words, corpus counts, and the
+    initial single-char segmentation."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("s", _wrap_chars(F.col("w")))
+    )
+
+
+def _pair_counts(wt: DataFrame) -> DataFrame:
+    """(pair, n): adjacent-symbol pair counts over the current
+    segmentation, weighted by word frequency. Map-only explode + one
+    groupBy."""
+    syms = F.split(F.expr("replace(s, '><', '> <')"), " ")
+    pairs = F.expr(
+        "transform(sequence(1, size(_syms) - 1),"
+        " i -> concat(_syms[i - 1], _syms[i]))"
+    )
+    return (
+        wt.withColumn("_syms", syms)
+        .where(F.size("_syms") >= 2)
+        .select("c", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+    )
+
+
+def bpe_train(docs: DataFrame, rounds: int = ROUNDS,
+              text_col: str = "text") -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """Train ``rounds`` BPE merges. Returns (merges, final_word_table):
+    merges as [(rank, pair, count)] with pair in wrapped form
+    ('<e><r>'), and the word table carrying the final segmentation."""
+    wt = docs
+    if set(wt.columns) != {"w", "c", "s"}:
+        wt = word_table(docs, text_col)
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, rounds + 1):
+        best = (
+            _pair_counts(wt)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0]["pair"], best[0]["n"]
+        merged = "<" + pair.replace("<", "").replace(">", "") + ">"
+        merges.append((r, pair, int(n)))
+        wt = wt.withColumn(
+            "s", F.expr(f"replace(s, '{pair}', '{merged}')")
+        ).localCheckpoint(eager=False)
+    return merges, wt
+
+
+def bpe_merge_table(docs: DataFrame, rounds: int = ROUNDS,
+                    text_col: str = "text") -> DataFrame:
+    """The merge table as a DataFrame: (rank, pair, n) — the trained
+    artifact a tokenizer ships."""
+    spark = docs.sparkSession
+    merges, _ = bpe_train(docs, rounds, text_col)
+    return spark.createDataFrame(merges, "rank int, pair string, n bigint")
+
+
+def bpe_segment_counts(docs: DataFrame, rounds: int = ROUNDS,
+                       text_col: str = "text", top: int = 30) -> DataFrame:
+    """Top subword symbols after training: (symbol, n_words, total_count)
+    — the vocabulary head, weighted by word frequency."""
+    _, wt = bpe_train(docs, rounds, text_col)
+    syms = F.split(F.expr("replace(s, '><', '> <')"), " ")
+    return (
+        wt.select("c", F.explode(syms).alias("symbol"))
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("c").alias("total_count"),
+        )
+        .orderBy(F.col("total_count").desc(), F.col("symbol"))
+        .limit(top)
+    )
