@@ -2312,6 +2312,20 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_segment_counts(_t(spark, sf_dir, "documents"), rounds=6, top=30)
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counting over the closed-form doc graph
+    (operators/graphrank.py doc_graph + triangle_counts): pure integer
+    counting, id-ordered enumeration join — each triangle found once and
+    credited to its three corners."""
+    from document_extraction_spark.operators.graphrank import (
+        doc_graph,
+        triangle_counts,
+    )
+
+    g = doc_graph(_t(spark, sf_dir, "documents"), k=3)
+    return triangle_counts(g).orderBy("node")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (operators/funnel.py): view -> click -> purchase,
     each step's min-ts chained through per-user joins — every shuffle on
@@ -2416,7 +2430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_rrf": q_hybrid_rrf,                      # new r5: RRF fusion
         "q_outlier_events": q_outlier_events,              # new r5: MAD outliers
         "q_manifest_prune": q_manifest_prune,              # new r5: data skipping
-        "q_decontaminate": q_decontaminate,
         "q_agg_state": q_agg_state,                        # new r5: incr. aggs
         "x_transcript_qc": x_transcript_qc,                # new r5: QC (rows)
         "q_quantized_ann": q_quantized_ann,                # new r5: int8 ANN
@@ -2425,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": q_cohort_retention,          # new r5: cohorts
         "q_bpe_merges": q_bpe_merges,                      # new r5: BPE train
         "q_bpe_vocab": q_bpe_vocab,                        # new r5: BPE vocab
+        "q_triangle_counts": q_triangle_counts,            # new r5: triangles
         "q_bm25_topk": q_bm25_topk,
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
         "q_sliding_chunks": q_sliding_chunks,              # new r4
@@ -2442,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_decontaminate": q_decontaminate,        # rotated out r5 (green r3+r4)
         "q_stratified_sample": q_stratified_sample,  # rotated out r5 (green r3+r4)
         "q_token_budget_mix": q_token_budget_mix,  # rotated out r5 (green r3+r4)
         "q_batch_sessions": q_batch_sessions,      # rotated out r5 (green r3+r4)
@@ -3038,6 +3053,33 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_vocab": _sql_bpe_vocab(),
+        "q_triangle_counts": """
+            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+            ed0 AS (
+              SELECT doc_id AS a,
+                     (('0x' || substr(md5('tg0:' || doc_id::VARCHAR), 1, 13))::BIGINT % n) AS b
+              FROM documents CROSS JOIN nd
+              UNION ALL
+              SELECT doc_id,
+                     (('0x' || substr(md5('tg1:' || doc_id::VARCHAR), 1, 13))::BIGINT % n)
+              FROM documents CROSS JOIN nd
+              UNION ALL
+              SELECT doc_id,
+                     (('0x' || substr(md5('tg2:' || doc_id::VARCHAR), 1, 13))::BIGINT % n)
+              FROM documents CROSS JOIN nd),
+            e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                  FROM ed0 WHERE a <> b),
+            tri AS (
+              SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              FROM e e1
+              JOIN e e2 ON e2.lo = e1.hi
+              JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+            SELECT node, count(*)::BIGINT AS n_triangles
+            FROM (SELECT a AS node FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY node ORDER BY node
+        """,
         "q_funnel": """
             WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
                         WHERE event_type = 'view' GROUP BY 1),

@@ -114,3 +114,60 @@ def pagerank_int(edges: DataFrame, iterations: int = 4,
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def doc_graph(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Synthetic doc-level undirected graph, closed-form from doc_id alone
+    (the host_edges trick at node granularity): k hash edges per document,
+    self-loops dropped, symmetrized to distinct (lo, hi) pairs — byte-exact
+    reproducible by a SQL twin."""
+    n = docs.select(F.count("*").alias("n_docs"))
+    legs = None
+    for s in range(k):
+        e = docs.crossJoin(F.broadcast(n)).select(
+            F.col("doc_id").alias("a"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"tg{s}:"), F.col("doc_id").cast("string"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_docs")
+            ).alias("b"),
+        )
+        legs = e if legs is None else legs.unionByName(e)
+    return (
+        legs.where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over undirected distinct (lo, hi) edges —
+    INTEGER-exact (a counting problem has no float anywhere), so the full
+    result hash-verifies.
+
+    Plan shape: the enumeration join chains (a,b)x(b,c) then closes with
+    (a,c) — each triangle with a<b<c found exactly once. At 100 TB the
+    standard hardening is degree-ordered orientation (forward adjacency
+    bounded by O(sqrt(m)) per node) + a broadcast of the high-degree
+    boundary; the id-ordered join keeps the same output and is the right
+    shape while wedge skew is modest (hash-derived graphs here are
+    near-regular). Each triangle credits its three corners; one final
+    groupBy(node)."""
+    e = edges.select("lo", "hi")
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return corners
