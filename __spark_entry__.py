@@ -2326,6 +2326,16 @@ def q_triangle_counts(spark, sf_dir):
     return triangle_counts(g).orderBy("node")
 
 
+def q_kcore(spark, sf_dir):
+    """k-core peeling on the doc graph (operators/graphrank.py kcore):
+    4 unrolled rounds of drop-degree-<3 — pytest proves round 5 changes
+    nothing, so this IS the exact 3-core. Integer degrees, hash-exact."""
+    from document_extraction_spark.operators.graphrank import doc_graph, kcore
+
+    g = doc_graph(_t(spark, sf_dir, "documents"), k=3)
+    return kcore(g, k=3, rounds=4).orderBy("node")
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (operators/funnel.py): view -> click -> purchase,
     each step's min-ts chained through per-user joins — every shuffle on
@@ -2439,7 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,                      # new r5: BPE train
         "q_bpe_vocab": q_bpe_vocab,                        # new r5: BPE vocab
         "q_triangle_counts": q_triangle_counts,            # new r5: triangles
-        "q_bm25_topk": q_bm25_topk,
+        "q_kcore": q_kcore,                                # new r5: k-core
         "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
         "q_sliding_chunks": q_sliding_chunks,              # new r4
         "q_weighted_sample": q_weighted_sample,            # new r4
@@ -2456,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_bm25_topk": q_bm25_topk,                # rotated out r5 (green r3+r4)
         "q_decontaminate": q_decontaminate,        # rotated out r5 (green r3+r4)
         "q_stratified_sample": q_stratified_sample,  # rotated out r5 (green r3+r4)
         "q_token_budget_mix": q_token_budget_mix,  # rotated out r5 (green r3+r4)
@@ -2685,6 +2696,44 @@ FROM (
   FROM w{rounds})
 GROUP BY symbol ORDER BY total_count DESC, symbol LIMIT {top}
 """
+
+
+_SQL_DOC_GRAPH = """nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+ed0 AS (
+  SELECT doc_id AS a,
+         (('0x' || substr(md5('tg0:' || doc_id::VARCHAR), 1, 13))::BIGINT % n) AS b
+  FROM documents CROSS JOIN nd
+  UNION ALL
+  SELECT doc_id,
+         (('0x' || substr(md5('tg1:' || doc_id::VARCHAR), 1, 13))::BIGINT % n)
+  FROM documents CROSS JOIN nd
+  UNION ALL
+  SELECT doc_id,
+         (('0x' || substr(md5('tg2:' || doc_id::VARCHAR), 1, 13))::BIGINT % n)
+  FROM documents CROSS JOIN nd),
+e0 AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+       FROM ed0 WHERE a <> b)"""
+
+
+def _sql_kcore(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled-CTE twin of graphrank.kcore over the shared doc graph."""
+    parts = [_SQL_DOC_GRAPH]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""d{r} AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT lo AS node FROM e{p} UNION ALL SELECT hi FROM e{p})
+  GROUP BY 1),
+k{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r} AS (SELECT e.lo, e.hi FROM e{p} e
+         JOIN k{r} a ON a.node = e.lo JOIN k{r} b ON b.node = e.hi)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT node, count(*)::BIGINT AS deg FROM (
+  SELECT lo AS node FROM e{rounds} UNION ALL SELECT hi FROM e{rounds})
+GROUP BY 1 ORDER BY node
+"""
+    )
 
 
 def _sql_bloom_prefilter(m_bits: int = 16384, k: int = 3) -> str:
@@ -3053,27 +3102,14 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_vocab": _sql_bpe_vocab(),
-        "q_triangle_counts": """
-            WITH nd AS (SELECT count(*)::BIGINT AS n FROM documents),
-            ed0 AS (
-              SELECT doc_id AS a,
-                     (('0x' || substr(md5('tg0:' || doc_id::VARCHAR), 1, 13))::BIGINT % n) AS b
-              FROM documents CROSS JOIN nd
-              UNION ALL
-              SELECT doc_id,
-                     (('0x' || substr(md5('tg1:' || doc_id::VARCHAR), 1, 13))::BIGINT % n)
-              FROM documents CROSS JOIN nd
-              UNION ALL
-              SELECT doc_id,
-                     (('0x' || substr(md5('tg2:' || doc_id::VARCHAR), 1, 13))::BIGINT % n)
-              FROM documents CROSS JOIN nd),
-            e AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
-                  FROM ed0 WHERE a <> b),
+        "q_kcore": _sql_kcore(),
+        "q_triangle_counts": f"""
+            WITH {_SQL_DOC_GRAPH},
             tri AS (
               SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
-              FROM e e1
-              JOIN e e2 ON e2.lo = e1.hi
-              JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+              FROM e0 e1
+              JOIN e0 e2 ON e2.lo = e1.hi
+              JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
             SELECT node, count(*)::BIGINT AS n_triangles
             FROM (SELECT a AS node FROM tri
                   UNION ALL SELECT b FROM tri

@@ -171,3 +171,42 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return corners
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """k-core peeling: ``rounds`` iterations of "drop nodes with degree
+    < k, keep only edges between survivors" — the web-graph quality signal
+    (dense cores = link farms / tight communities; shallow nodes peel
+    away). Returns (node, deg) over the surviving subgraph.
+
+    Fixed-round formulation so the whole computation is oracle-expressible
+    as unrolled CTEs (the PageRank/BPE pattern); the true k-core is the
+    peeling FIXPOINT — tests/test_triangles.py asserts one extra round
+    changes nothing on the bench graph, making the fixed-round output the
+    exact k-core there. Integer degrees only — hash-exact.
+
+    Per round: one degree aggregation (map-side combinable) + two
+    broadcast-able semi-joins to filter edges. At 100 TB the degree table
+    is |nodes| rows; iterate until a convergence count (one scalar job)
+    goes to zero instead of a fixed R."""
+    e = edges.select("lo", "hi")
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionByName(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

@@ -38,3 +38,27 @@ def test_doc_graph_is_symmetric_distinct(spark, testdata_dir):
     g = doc_graph(docs, k=3).toPandas()
     assert (g["lo"] < g["hi"]).all()
     assert len(g) == len(g.drop_duplicates())
+
+
+def test_kcore_k4_survives_pendants_peel(spark):
+    from document_extraction_spark.operators.graphrank import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pendants = [(0, 10), (10, 11), (3, 12)]
+    out = dict(kcore(_edges(spark, k4 + pendants), k=3, rounds=3).collect())
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}  # pendant chain fully peeled
+
+
+def test_kcore_fixpoint_on_bench_graph(spark, testdata_dir):
+    """Round 5 must change nothing vs round 4 on the sf0.01 doc graph —
+    the fixed-round oracle output IS the exact 3-core there."""
+    import os
+
+    from document_extraction_spark.operators.graphrank import doc_graph, kcore
+
+    path = os.path.join(testdata_dir, "sf0.01", "documents.parquet")
+    docs = spark.read.parquet(path)
+    g = doc_graph(docs, k=3)
+    r4 = sorted(map(tuple, kcore(g, k=3, rounds=4).collect()))
+    r5 = sorted(map(tuple, kcore(g, k=3, rounds=5).collect()))
+    assert r4 == r5 and len(r4) > 0
