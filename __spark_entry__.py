@@ -2336,6 +2336,82 @@ def q_kcore(spark, sf_dir):
     return kcore(g, k=3, rounds=4).orderBy("node")
 
 
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped 6-table star join: per order year, NATION_3
+    suppliers' share of ASIA customers' volume in small parts — exercises
+    Catalyst join reordering over region->nation->customer->orders->
+    lineitem->part->supplier->nation with two broadcast dims, decimal-exact
+    volume sums, share rounded at the edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n_c = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") < 15)
+    s = _t(spark, sf_dir, "supplier")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nation")
+    )
+    vol = (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias("vol")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n_c, c.c_nationkey == n_c.n_nationkey)
+        .join(F.broadcast(r), n_c.n_regionkey == r.r_regionkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol, "s_nation")
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(F.sum("vol"), 2).cast("double").alias("total_volume"),
+            F.round(
+                F.sum(F.when(F.col("s_nation") == "NATION_3", F.col("vol"))
+                      .otherwise(F.lit(0).cast("decimal(18,4)"))), 2
+            ).cast("double").alias("nation3_volume"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("s_nation") == "NATION_3", F.col("vol"))
+                          .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                    / F.sum("vol").cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Schema-evolution-safe read (sources/evolution.py): stage events as
+    two schema versions (v1 lacks `value` and `props`; v2 carries them),
+    read back merged with declared defaults, aggregate across versions —
+    the oracle recomputes from the unevolved table with the same default
+    rule, proving old-version rows surface with principled defaults."""
+    import tempfile
+
+    from document_extraction_spark.sources.evolution import read_evolved
+
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="evolve_") + "/events"
+    ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "ts", "user_id", "event_type"
+    ).write.mode("append").parquet(path)
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(path)
+    merged = read_evolved(spark, path, {"value": 0.0})
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (operators/funnel.py): view -> click -> purchase,
     each step's min-ts chained through per-user joins — every shuffle on
@@ -2436,10 +2512,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_hll_sketches": x_hll_sketches,
         "x_hll_persist": x_hll_persist,  # new r4: sketch-state round-trip
         # -- (b) fixed / new this round
-        "q_pack_context": q_pack_context,
         "q_hybrid_rrf": q_hybrid_rrf,                      # new r5: RRF fusion
         "q_outlier_events": q_outlier_events,              # new r5: MAD outliers
         "q_manifest_prune": q_manifest_prune,              # new r5: data skipping
+        "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
         "q_agg_state": q_agg_state,                        # new r5: incr. aggs
         "x_transcript_qc": x_transcript_qc,                # new r5: QC (rows)
         "q_quantized_ann": q_quantized_ann,                # new r5: int8 ANN
@@ -2450,7 +2526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_vocab": q_bpe_vocab,                        # new r5: BPE vocab
         "q_triangle_counts": q_triangle_counts,            # new r5: triangles
         "q_kcore": q_kcore,                                # new r5: k-core
-        "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
+        "q_market_share": q_market_share,                  # new r5: Q8 shape
+        "q_schema_evolution": q_schema_evolution,          # new r5: evolved read
         "q_sliding_chunks": q_sliding_chunks,              # new r4
         "q_weighted_sample": q_weighted_sample,            # new r4
         "q_weighted_sample_distributed": q_weighted_sample_distributed,  # new r5
@@ -2463,9 +2540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cms_freq": q_cms_freq,                          # new r5
         "q_scd2_history": q_scd2_history,                  # new r5
         "q_fuzzy_pairs": q_fuzzy_pairs,
-        "q_embedding_centroids": q_embedding_centroids,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "q_embedding_centroids": q_embedding_centroids,  # rotated out r5 (green r3+r4)
+        "q_pack_context": q_pack_context,          # rotated out r5 (green r3+r4)
         "q_bm25_topk": q_bm25_topk,                # rotated out r5 (green r3+r4)
         "q_decontaminate": q_decontaminate,        # rotated out r5 (green r3+r4)
         "q_stratified_sample": q_stratified_sample,  # rotated out r5 (green r3+r4)
@@ -3103,6 +3181,39 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_vocab": _sql_bpe_vocab(),
         "q_kcore": _sql_kcore(),
+        "q_schema_evolution": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(CASE WHEN event_id % 2 = 1
+                                  THEN value::DECIMAL(18,4)
+                                  ELSE 0::DECIMAL(18,4) END), 2)::DOUBLE
+                     AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_market_share": """
+            WITH base AS (
+              SELECT year(o.o_orderdate) AS o_year,
+                     l.l_extendedprice::DECIMAL(18,4)
+                       * (1::DECIMAL(18,4) - l.l_discount::DECIMAL(18,4)) AS vol,
+                     ns.n_name AS s_nation
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              JOIN region r ON nc.n_regionkey = r.r_regionkey
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              WHERE r.r_name = 'ASIA' AND p.p_size < 15)
+            SELECT o_year,
+                   round(sum(vol), 2)::DOUBLE AS total_volume,
+                   round(sum(CASE WHEN s_nation = 'NATION_3' THEN vol
+                                  ELSE 0::DECIMAL(18,4) END), 2)::DOUBLE
+                     AS nation3_volume,
+                   (round((sum(CASE WHEN s_nation = 'NATION_3' THEN vol
+                                    ELSE 0::DECIMAL(18,4) END)::DOUBLE)
+                          / (sum(vol)::DOUBLE), 4) + 0.0) AS share
+            FROM base GROUP BY o_year ORDER BY o_year
+        """,
         "q_triangle_counts": f"""
             WITH {_SQL_DOC_GRAPH},
             tri AS (
