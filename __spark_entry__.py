@@ -2412,6 +2412,22 @@ def q_schema_evolution(spark, sf_dir):
     )
 
 
+def q_kfold(spark, sf_dir):
+    """Deterministic stratified k-fold assignment over documents by lang
+    (operators/sampling.py stratified_kfold): md5-ranked within class,
+    fold = (rank-1) % 5 — per-class fold sizes balanced within one row,
+    reproducible with no RNG state. Output: per (lang, fold) counts."""
+    from document_extraction_spark.operators.sampling import stratified_kfold
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_kfold(d, "lang", "doc_id", k=5)
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "fold")
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (operators/funnel.py): view -> click -> purchase,
     each step's min-ts chained through per-user joins — every shuffle on
@@ -2502,7 +2518,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_features": x_media_features,
         "x_streaming_extract": x_streaming_extract,
         "x_binary_extract": x_binary_extract,
-        "x_stream_windowed_rates": x_stream_windowed_rates,
         "x_stream_conv_stats": x_stream_conv_stats,
         "x_stream_dedup": x_stream_dedup,
         "x_stream_sessions": x_stream_sessions,
@@ -2528,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,                                # new r5: k-core
         "q_market_share": q_market_share,                  # new r5: Q8 shape
         "q_schema_evolution": q_schema_evolution,          # new r5: evolved read
+        "q_kfold": q_kfold,                                # new r5: CV folds
         "q_sliding_chunks": q_sliding_chunks,              # new r4
         "q_weighted_sample": q_weighted_sample,            # new r4
         "q_weighted_sample_distributed": q_weighted_sample_distributed,  # new r5
@@ -2542,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": q_fuzzy_pairs,
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        "x_stream_windowed_rates": x_stream_windowed_rates,  # rotated out r5 (rows r3+r4)
         "q_embedding_centroids": q_embedding_centroids,  # rotated out r5 (green r3+r4)
         "q_pack_context": q_pack_context,          # rotated out r5 (green r3+r4)
         "q_bm25_topk": q_bm25_topk,                # rotated out r5 (green r3+r4)
@@ -3181,6 +3198,15 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q_bpe_merges": _sql_bpe_merges(),
         "q_bpe_vocab": _sql_bpe_vocab(),
         "q_kcore": _sql_kcore(),
+        "q_kfold": """
+            WITH r AS (
+              SELECT lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+              FROM documents)
+            SELECT lang, ((rn - 1) % 5)::INT AS fold, count(*)::BIGINT AS n
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "q_schema_evolution": """
             SELECT event_type, count(*)::BIGINT AS n,
                    round(sum(CASE WHEN event_id % 2 = 1

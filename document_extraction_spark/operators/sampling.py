@@ -182,3 +182,23 @@ def weighted_sample_n_distributed(
                 base = base.filter(F.col("_aes_key") >= t)
     out = base.orderBy(F.col("_aes_key").desc(), F.col(key_col).asc()).limit(n)
     return out.drop("_aes_key")
+
+
+def stratified_kfold(df: DataFrame, label_col: str, id_col: str,
+                     k: int = 5) -> DataFrame:
+    """Deterministic stratified k-fold assignment: within each label,
+    rows ranked by md5(id) (the repo's seedless-determinism convention)
+    get fold = (rank - 1) % k — every class splits across folds balanced
+    to within one row, and the assignment is a pure function of the data
+    (reproducible across runs, engines, and cluster sizes; no RNG state
+    to ship). One window shuffle on the label key.
+
+    The cross-validation counterpart of train/val/test splitting: ML
+    pipelines at corpus scale need fold membership computable ON the
+    cluster, joinable back to any table by id."""
+    w = Window.partitionBy(label_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("int")
+    )

@@ -99,3 +99,26 @@ def test_stratified_deterministic_across_partitionings(corpus):
 def test_hash_sample_is_scan_side_filter(corpus):
     plan = SP.hash_sample(corpus, 0.3, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: no shuffle introduced
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    from document_extraction_spark.operators.sampling import stratified_kfold
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i < 53 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_kfold(df, "lang", "doc_id", k=5)
+    sizes = {
+        (r["lang"], r["fold"]): r["n"]
+        for r in out.groupBy("lang", "fold").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # per class, folds balanced within one row
+    for lang, total in (("a", 53), ("b", 47)):
+        per = [sizes[(lang, f)] for f in range(5)]
+        assert sum(per) == total and max(per) - min(per) <= 1
+    # deterministic: identical assignment on re-run
+    a1 = sorted(map(tuple, out.select("doc_id", "fold").collect()))
+    a2 = sorted(map(tuple,
+                    stratified_kfold(df, "lang", "doc_id", k=5)
+                    .select("doc_id", "fold").collect()))
+    assert a1 == a2
