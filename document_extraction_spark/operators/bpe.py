@@ -118,6 +118,41 @@ def bpe_merge_table(docs: DataFrame, rounds: int = ROUNDS,
     return spark.createDataFrame(merges, "rank int, pair string, n bigint")
 
 
+def bpe_encode(docs: DataFrame, merges: list[tuple[int, str, int]],
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply a trained merge table to the corpus — the tokenizer's
+    *encode* step, the one that actually runs over 100 TB (training touches
+    only the vocabulary-sized word table; encoding touches every byte).
+
+    Engine-exact, fully map-only (ZERO shuffles): each document's
+    lowercase alphabetic tokens are wrapped-symbol segmented
+    ('<l><o><w>…'), joined with a space (pairs are '<x><y>', so a merge
+    replace can never cross the '> <' word boundary), and the merges are
+    applied as a chain of plain ``replace`` calls in rank order — the same
+    greedy-leftmost semantics on both engines that makes training
+    hash-verifiable (see module docstring).
+
+    Returns (id, n_words, n_symbols, enc_hash): symbol counts are the
+    post-merge token counts a budget planner needs; the md5 of the full
+    encoded segmentation pins byte-exact parity without shipping the
+    (large) encoded text through the comparator."""
+    tk = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda w: w.rlike("^[a-z]+$")
+    )
+    wrapped = F.transform(tk, lambda w: F.regexp_replace(w, "(.)", "<$1>"))
+    enc = F.array_join(wrapped, " ")
+    for _rank, pair, _n in merges:
+        merged = "<" + pair.replace("<", "").replace(">", "") + ">"
+        enc = F.replace(enc, F.lit(pair), F.lit(merged))
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(tk).cast("long").alias("n_words"),
+        (F.length(enc) - F.length(F.replace(enc, F.lit("<"), F.lit(""))))
+        .cast("long").alias("n_symbols"),
+        F.md5(enc).alias("enc_hash"),
+    )
+
+
 def bpe_segment_counts(docs: DataFrame, rounds: int = ROUNDS,
                        text_col: str = "text", top: int = 30) -> DataFrame:
     """Top subword symbols after training: (symbol, n_words, total_count)

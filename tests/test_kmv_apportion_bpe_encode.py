@@ -1,0 +1,110 @@
+"""KMV bottom-k sketch (operators/kmv.py), largest-remainder apportionment
+(operators/apportion.py), and the BPE encode step (operators/bpe.py).
+
+What must hold:
+- KMV: below k the sketch IS the set (count exact); merge of per-part
+  sketches equals the sketch of the union (closure); the estimator lands
+  within its k-governed error band on a set >> k.
+- apportion: allocations are integers summing to EXACTLY the budget, each
+  within 1 of the real-valued proportional share (Hamilton's guarantee),
+  and non-positive weights get nothing.
+- bpe_encode: greedy-leftmost merge application byte-equal to a hand
+  computation; empty/non-alphabetic docs produce the md5('') segmentation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_extraction_spark.operators import kmv as KMV
+from document_extraction_spark.operators.apportion import apportion
+from document_extraction_spark.operators.bpe import bpe_encode
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # 3 groups with 10 / 200 / 5000 distinct values
+    return spark.range(5000).selectExpr(
+        "CASE WHEN id < 10 THEN 'a' WHEN id < 210 THEN 'b' ELSE 'c' END AS g",
+        "CASE WHEN id < 10 THEN id WHEN id < 210 THEN id - 10 ELSE id END AS v",
+    ).union(spark.range(5000).selectExpr("'c' AS g", "id AS v"))  # dups: no-op
+
+
+def test_kmv_exact_below_k(spark, vals):
+    est = KMV.kmv_estimate(
+        KMV.kmv_build(vals, "v", ["g"], k=64), ["g"], k=64
+    ).orderBy("g").collect()
+    by_g = {r["g"]: r for r in est}
+    assert by_g["a"]["n_kept"] == 10 and by_g["a"]["est_distinct"] == 10
+    assert by_g["b"]["n_kept"] == 64  # saturated
+    assert by_g["c"]["n_kept"] == 64
+
+
+def test_kmv_estimate_band(spark, vals):
+    # 5000 distinct in group c, k=64: stderr ~ 1/sqrt(k-2) ~ 13%; allow 4x
+    est = KMV.kmv_estimate(
+        KMV.kmv_build(vals, "v", ["g"], k=64), ["g"], k=64
+    ).where("g = 'c'").collect()[0]
+    assert 2400 <= est["est_distinct"] <= 7600
+
+
+def test_kmv_merge_closure(spark, vals):
+    # bottom-k of the union == re-rank of the concatenated per-group sketches
+    per_group = KMV.kmv_build(vals, "v", ["g"], k=64)
+    merged = KMV.kmv_merge(per_group.withColumn("g", F.lit("ALL")), ["g"], k=64)
+    direct = KMV.kmv_build(
+        vals.withColumn("g", F.lit("ALL")), "v", ["g"], k=64
+    )
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+
+
+def test_apportion_sums_to_budget_and_bounds(spark):
+    df = spark.createDataFrame(
+        [("h1", 17), ("h2", 5), ("h3", 78), ("h4", 1), ("h5", 0), ("h6", -3)],
+        "host string, w long",
+    )
+    out = apportion(df, "host", "w", budget=101).collect()
+    total_w = 17 + 5 + 78 + 1
+    assert sum(r["alloc"] for r in out) == 101
+    assert {r["host"] for r in out} == {"h1", "h2", "h3", "h4"}  # w<=0 dropped
+    for r in out:
+        share = 101 * r["w"] / total_w
+        assert share - 1 < r["alloc"] < share + 1
+
+
+def test_apportion_degenerate_single_key(spark):
+    df = spark.createDataFrame([("only", 3)], "host string, w long")
+    assert apportion(df, "host", "w", budget=42).collect()[0]["alloc"] == 42
+
+
+def test_bpe_encode_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "aab aab ab"), (2, "zz! 42"), (3, None)],
+        "doc_id long, text string",
+    )
+    # one merge: '<a><b>' -> '<ab>'
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(docs, [(1, "<a><b>", 3)]).collect()
+    }
+    enc = "<a><ab> <a><ab> <ab>"
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_symbols"] == 5
+    assert out[1]["enc_hash"] == hashlib.md5(enc.encode()).hexdigest()
+    # doc 2: no token survives the [a-z]+ filter -> empty segmentation
+    assert out[2]["n_words"] == 0 and out[2]["n_symbols"] == 0
+    assert out[2]["enc_hash"] == hashlib.md5(b"").hexdigest()
+    assert 3 not in out  # null text dropped
+
+
+def test_bpe_encode_greedy_leftmost(spark):
+    # 'aaa' with merge '<a><a>' -> '<aa><a>' (leftmost, non-overlapping)
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    row = bpe_encode(docs, [(1, "<a><a>", 1)]).collect()[0]
+    assert row["enc_hash"] == hashlib.md5(b"<aa><a>").hexdigest()
+    assert row["n_symbols"] == 2
