@@ -1,0 +1,80 @@
+"""Reciprocal best-match mining (operators/mining.py) and per-group
+quantile calibration (operators/calibrate.py).
+
+The property that matters for mining: mutuality kills hub matches — a
+right-side vector that is the nearest neighbour of MANY left vectors pairs
+with at most one of them (the one it points back to).  For calibration:
+ties calibrate equally, every group's max hits 1.0 (cross-group
+comparability), singletons are 0.0.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_extraction_spark.operators.calibrate import quantile_normalize
+from document_extraction_spark.operators.mining import mutual_top1_pairs
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_mutual_kills_hub_matches(spark):
+    # right 10 (the hub, near x-axis) is top-1 for BOTH left 0 and left 1,
+    # but points back only to left 0 -> (1, 10) must not survive; left 1
+    # pairs with nothing (its best, the hub, refuses).
+    left = _vecs(spark, [(0, (1.0, 0.0)), (1, (0.9, 0.1))])
+    right = _vecs(spark, [(10, (1.0, 0.01)), (11, (0.0, -1.0))])
+    got = {(r["left_id"], r["right_id"]) for r in
+           mutual_top1_pairs(left, right).collect()}
+    assert got == {(0, 10)}
+
+
+def test_mutual_perfect_matching(spark):
+    # orthogonal basis pairs: every left has exactly one near-identical right
+    left = _vecs(spark, [(0, (1.0, 0.0, 0.0)), (1, (0.0, 1.0, 0.0)),
+                         (2, (0.0, 0.0, 1.0))])
+    right = _vecs(spark, [(10, (0.99, 0.01, 0.0)), (11, (0.0, 0.98, 0.02)),
+                          (12, (0.01, 0.0, 0.97))])
+    got = {(r["left_id"], r["right_id"]) for r in
+           mutual_top1_pairs(left, right).collect()}
+    assert got == {(0, 10), (1, 11), (2, 12)}
+
+
+def test_mutual_min_cos_filter(spark):
+    left = _vecs(spark, [(0, (1.0, 0.0))])
+    right = _vecs(spark, [(10, (0.0, 1.0))])  # orthogonal: cos 0, still mutual
+    assert mutual_top1_pairs(left, right).count() == 1
+    assert mutual_top1_pairs(left, right, min_cos=0.5).count() == 0
+
+
+@pytest.fixture(scope="module")
+def scores(spark):
+    return spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 40.0),
+         ("b", 5, 1000.0), ("b", 6, 2000.0), ("c", 7, 5.0)],
+        "src string, doc_id long, score double",
+    )
+
+
+def test_calibrate_ties_and_max(spark, scores):
+    out = {r["doc_id"]: r["calibrated"] for r in
+           quantile_normalize(scores, "score", "src", "doc_id").collect()}
+    assert out[2] == out[3]                   # ties share the calibrated value
+    assert out[4] == 1.0 and out[6] == 1.0    # every group's max lands at 1.0
+    assert out[1] == 0.0 and out[5] == 0.0    # ... and min at 0.0
+    assert out[7] == 0.0                      # singleton convention
+
+
+def test_calibrate_cross_group_threshold(spark, scores):
+    # "top half of every source" as ONE global predicate on the calibrated axis
+    kept = {r["doc_id"] for r in
+            quantile_normalize(scores, "score", "src", "doc_id")
+            .where(F.col("calibrated") >= 0.5).collect()}
+    # the 20.0 tie pair shares rank 2 of 4 -> calibrated 1/3, below the bar
+    assert kept == {4, 6}
