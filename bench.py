@@ -140,6 +140,10 @@ def main() -> int:
         "q_hybrid_rrf",             # round-5: BM25+dense RRF fusion
         "q_snapshot_diff",          # round-5: CDC change sets
         "q_outlier_events",         # round-5: median/MAD robust outliers
+        "q_bpe_encode",             # round-5: tokenizer encode over every byte
+        "q_quality_calibrate",      # round-5: per-source quantile calibration
+        "q_kmv_distinct",           # round-5: bottom-k sketch build+merge
+        "q_crawl_budget",           # round-5: Hamilton budget apportionment
     ]
 
     def best_of(fn, runs: int = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))) -> float:
