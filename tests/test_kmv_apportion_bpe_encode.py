@@ -63,6 +63,44 @@ def test_kmv_merge_closure(spark, vals):
     )
 
 
+def test_kmv_intersect_exact_below_k(spark):
+    a = KMV.kmv_build(
+        spark.range(0, 30).selectExpr("'p' AS g", "id AS v"), "v", ["g"], k=64
+    )
+    b = KMV.kmv_build(
+        spark.range(20, 50).selectExpr("'p' AS g", "id AS v"), "v", ["g"], k=64
+    )
+    row = KMV.kmv_intersect_estimate(a, b, ["g"], k=64).collect()[0]
+    # union 50 < k: everything exact — |A ∩ B| = |{20..29}| = 10
+    assert row["est_union"] == 50
+    assert row["n_common"] == 10 and row["est_intersect"] == 10
+
+
+def test_kmv_intersect_band_above_k(spark):
+    a = KMV.kmv_build(
+        spark.range(0, 4000).selectExpr("'p' AS g", "id AS v"), "v", ["g"], k=64
+    )
+    b = KMV.kmv_build(
+        spark.range(2000, 6000).selectExpr("'p' AS g", "id AS v"), "v", ["g"], k=64
+    )
+    row = KMV.kmv_intersect_estimate(a, b, ["g"], k=64).collect()[0]
+    # true union 6000, true intersection 2000; wide band (theta sampling)
+    assert 3000 <= row["est_union"] <= 9000
+    assert 600 <= row["est_intersect"] <= 4400
+
+
+def test_kmv_intersect_disjoint(spark):
+    a = KMV.kmv_build(
+        spark.range(0, 2000).selectExpr("'p' AS g", "id AS v"), "v", ["g"], k=64
+    )
+    b = KMV.kmv_build(
+        spark.range(100000, 102000).selectExpr("'p' AS g", "id AS v"),
+        "v", ["g"], k=64,
+    )
+    row = KMV.kmv_intersect_estimate(a, b, ["g"], k=64).collect()[0]
+    assert row["n_common"] == 0 and row["est_intersect"] == 0
+
+
 def test_apportion_sums_to_budget_and_bounds(spark):
     df = spark.createDataFrame(
         [("h1", 17), ("h2", 5), ("h3", 78), ("h4", 1), ("h5", 0), ("h6", -3)],
