@@ -52,18 +52,25 @@ def apportion(df: DataFrame, key_col: str, weight_col: str,
         .withColumn("base", F.expr(f"({budget} * w) DIV tot_w"))
         .withColumn("rem", F.expr(f"({budget} * w) % tot_w"))
     )
-    leftover = based.agg((F.lit(budget) - F.sum("base")).alias("n_left"))
+    # the leftover L = budget - sum(base) rides the SAME single-partition
+    # exchange the remainder-rank window already pays — a separate
+    # aggregate would re-evaluate (re-scan) the whole `based` subtree as a
+    # second broadcast branch (plan-shape pinned in test_plan_shapes_r5b)
     w_rk = Window.orderBy(F.col("rem").desc(), F.col("k"))
+    w_all = w_rk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        based.crossJoin(F.broadcast(leftover))
-        .withColumn("rk", F.row_number().over(w_rk))
+        based.withColumn("rk", F.row_number().over(w_rk))
+        .withColumn("_base_sum", F.sum("base").over(w_all))
         .select(
             F.col("k").alias(key_col),
             "w",
             "base",
             "rem",
             (F.col("base")
-             + F.when(F.col("rk") <= F.col("n_left"), 1).otherwise(0))
+             + F.when(F.col("rk") <= F.lit(budget) - F.col("_base_sum"), 1)
+             .otherwise(0))
             .cast("long").alias("alloc"),
         )
     )

@@ -6,14 +6,16 @@ Mutuality is the classic high-precision filter: one-directional top-1 pairs
 include every hub vector's spurious matches; requiring both directions
 removes them with no threshold to tune.
 
-Distributed shape (scores computed ONCE):
+Distributed shape (scores computed ONCE — structurally, not by cache):
 - one broadcast cross product left x right scored with the repo's standard
   cosine formulation (operators/similarity.py — rank on the raw double,
   vec_id tiebreak, round only at the edge: the q_ann_topk-proven
   exactness recipe);
-- two row_number windows over the SAME scored set (one keyed by each side)
-  — no second scoring pass;
-- an inner join of the two argmax sets on the pair key.
+- mutuality needs NO self-join: a pair (l, r) is mutual iff the SAME
+  scored row has row_number 1 under both partitionings, so the two
+  argmax windows chain over one scored child (plan-shape pinned: exactly
+  one scoring join node — a naive `best_l JOIN best_r` re-evaluates the
+  whole cross product per branch, doubling the quadratic cost).
 
 At 100 TB neither side is broadcastable and the cross product is the cost:
 the scale path swaps the exact scorer for SRP-bucketed candidates
@@ -58,17 +60,12 @@ def mutual_top1_pairs(
     )
     w_l = Window.partitionBy("left_id").orderBy(F.col("_raw").desc(), "right_id")
     w_r = Window.partitionBy("right_id").orderBy(F.col("_raw").desc(), "left_id")
-    best_l = (
-        scored.withColumn("rk", F.row_number().over(w_l))
-        .where(F.col("rk") == 1)
+    out = (
+        scored.withColumn("rk_l", F.row_number().over(w_l))
+        .withColumn("rk_r", F.row_number().over(w_r))
+        .where((F.col("rk_l") == 1) & (F.col("rk_r") == 1))
         .select("left_id", "right_id", "cos")
     )
-    best_r = (
-        scored.withColumn("rk", F.row_number().over(w_r))
-        .where(F.col("rk") == 1)
-        .select("left_id", "right_id")
-    )
-    out = best_l.join(best_r, ["left_id", "right_id"])
     if min_cos is not None:
         out = out.where(F.col("cos") >= min_cos)
     return out
