@@ -82,6 +82,51 @@ def stratified_sample_exact(
     )
 
 
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    budget: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``budget`` rows total, spread across strata proportionally
+    to stratum size by Hamilton apportionment (operators/apportion.py),
+    each stratum's quota filled by the md5-ranked deterministic draw —
+    the curation recipe "give me exactly B documents, source-balanced".
+
+    Composition of two proven pieces: apportion() turns the stratum-size
+    table into integer quotas summing to exactly B; the per-stratum pick
+    is the stratified_sample_exact window with a per-stratum bound instead
+    of a constant n. Quotas never exceed stratum sizes when budget <=
+    total rows (floor(B*n_i/N) < n_i for B < N, and the +1 remainder seat
+    only lands where base < n_i holds) — asserted by pytest, not trusted.
+
+    Distributed shape: one stratum-size groupBy, the apportion scalar
+    broadcast + bounded window (quota table is stratum-cardinality sized),
+    ONE broadcast join of quotas back onto the corpus, one rank window on
+    the strata key. Adds `sample_rank` and `quota`."""
+    from document_extraction_spark.operators.apportion import apportion
+
+    skey = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in strata_cols])
+    sized = (
+        df.select(skey.alias("_stratum"))
+        .groupBy("_stratum")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    quotas = apportion(sized, "_stratum", "_n", budget).select(
+        "_stratum", F.col("alloc").alias("quota")
+    )
+    h = _hash_hex(F.col(key_col), salt)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_stratum", skey)
+        .join(F.broadcast(quotas), "_stratum")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .drop("_stratum")
+    )
+
+
 _U_NIBBLES = 13  # 16^13 < 2^53: the hash integer is exact in a double
 
 

@@ -23,6 +23,31 @@ def corpus(spark):
     )
 
 
+def test_quota_sample_budget_exact(spark, corpus):
+    out = SP.stratified_quota_sample(corpus, ["stratum"], 173, "doc_id")
+    rows = out.collect()
+    assert len(rows) == 173
+    # 10 equal strata of 200: quotas must be 17 or 18, never off by more
+    per = {}
+    for r in rows:
+        per[r["stratum"]] = per.get(r["stratum"], 0) + 1
+    assert set(per.values()) <= {17, 18}
+    assert all(r["sample_rank"] <= r["quota"] for r in rows)
+
+
+def test_quota_sample_full_budget_keeps_everything(spark, corpus):
+    assert SP.stratified_quota_sample(corpus, ["stratum"], N, "doc_id").count() == N
+
+
+def test_quota_sample_deterministic(spark, corpus):
+    a = {r["doc_id"] for r in
+         SP.stratified_quota_sample(corpus, ["stratum"], 50, "doc_id").collect()}
+    b = {r["doc_id"] for r in
+         SP.stratified_quota_sample(
+             corpus.repartition(7), ["stratum"], 50, "doc_id").collect()}
+    assert a == b and len(a) == 50
+
+
 def test_fraction_threshold_bounds():
     assert SP.fraction_threshold(0.0) == "00000000"
     # 16^8 needs 9 hex digits, so every 8-digit prefix compares below it
