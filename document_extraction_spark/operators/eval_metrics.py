@@ -77,6 +77,57 @@ def per_class_prf(cm: DataFrame, precision: int = 6) -> DataFrame:
     )
 
 
+def reliability_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    precision: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins for a [0,1]-scored binary classifier —
+    the calibration check ("when it says 0.8, is it right 80% of the
+    time?") that decides whether a quality scorer's threshold means
+    anything.  FIXED-WIDTH bins (floor(score * n_bins), top edge clamped),
+    not ntile: fixed-width is map-only with a <= n_bins-key groupBy —
+    corpus-size-independent shuffle, no global sort — and it is the
+    standard ECE binning (Guo et al. 2017).
+
+    Returns (bin, n, conf, acc, gap_term): conf = mean score, acc =
+    positive rate, both one double division over exact sums (pass the
+    score as DECIMAL for an exact sum); gap_term = round(|acc - conf| *
+    n, p) — pre-rounded per bin so the expected-calibration-error
+    aggregation ``sum(gap_term) / N`` is order-free (the lm_score
+    rounded-decimal-sum recipe)."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    n = F.col("n").cast("double")
+    conf = F.col("sum_score").cast("double") / n
+    acc = F.col("n_pos").cast("double") / n
+    return (
+        df.select(
+            b.alias("bin"),
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s").alias("sum_score"),
+            F.sum("y").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round(conf, precision).alias("conf"),
+            F.round(acc, precision).alias("acc"),
+            F.round(F.abs(acc - conf) * n, precision)
+            .cast(f"decimal(18,{precision})")
+            .alias("gap_term"),
+        )
+    )
+
+
 def kappa(cm: DataFrame, precision: int = 6) -> DataFrame:
     """One row: (n_total, accuracy, kappa) — micro accuracy (= observed
     agreement po) and Cohen's chance-corrected kappa."""

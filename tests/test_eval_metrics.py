@@ -55,6 +55,29 @@ def test_kappa_hand_value(cm):
     assert row["kappa"] == round((po - pe) / (1 - pe), 6)
 
 
+def test_reliability_bins_hand_values(spark):
+    from decimal import Decimal
+
+    from document_extraction_spark.operators.eval_metrics import (
+        reliability_bins,
+    )
+
+    rows = (
+        # bin 0 (scores .0x): 2 rows, 1 positive -> conf .05, acc .5
+        [(Decimal("0.04"), True), (Decimal("0.06"), False)]
+        # bin 9 via clamp (score 1.0) + a .95: 2 rows, both positive
+        + [(Decimal("1.00"), True), (Decimal("0.95"), True)]
+    )
+    df = spark.createDataFrame(rows, "s decimal(18,4), y boolean")
+    got = {r["bin"]: r for r in reliability_bins(df, "s", "y").collect()}
+    assert set(got) == {0, 9}
+    b0, b9 = got[0], got[9]
+    assert b0["n"] == 2 and b0["conf"] == 0.05 and b0["acc"] == 0.5
+    assert float(b0["gap_term"]) == 0.9  # |0.5 - 0.05| * 2
+    assert b9["n"] == 2 and b9["conf"] == 0.975 and b9["acc"] == 1.0
+    assert float(b9["gap_term"]) == 0.05
+
+
 def test_kappa_degenerate_full_agreement_single_class(spark):
     df = spark.createDataFrame([("x", "x")] * 5, "gold string, pred string")
     row = kappa(confusion_matrix(df, "gold", "pred")).collect()[0]
