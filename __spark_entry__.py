@@ -2759,6 +2759,21 @@ def q_seq_fingerprint(spark, sf_dir):
     )
 
 
+def q_rank_percentiles(spark, sf_dir):
+    """Rank-exact p50/p90/p99 summaries (operators/percentiles.py): per
+    event type, nearest-rank percentiles of value — every reported number
+    IS a row's value picked by integer rank, so the summary hash-verifies
+    where percentile_approx / interpolation never could."""
+    from document_extraction_spark.operators.percentiles import (
+        rank_percentiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return rank_percentiles(
+        e, ["event_type"], "value", [500, 900, 990], tiebreak_col="event_id"
+    ).orderBy("event_type", "p_millis")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry.  ORDER MATTERS: the driver verifies the FIRST 50
     entries only (hard cut observed since round 2), so the window follows
@@ -2837,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reliability": q_reliability,
         "q_topic_segments": q_topic_segments,
         "q_seq_fingerprint": q_seq_fingerprint,
+        "q_rank_percentiles": q_rank_percentiles,
         "x_binary_extract": x_binary_extract,        # rotated out r5 (rows r3+r4)
         "x_extract_documents_full": x_extract_documents_full,  # rotated out r5 (rows r3+r4)
         "x_hll_sketches": x_hll_sketches,            # rotated out r5 (rows r3+r4)
@@ -3797,6 +3813,18 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n_units,
                    md5(string_agg(f, '|' ORDER BY event_id)) AS seq_fp
             FROM fp GROUP BY user_id ORDER BY user_id
+        """,
+        "q_rank_percentiles": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+              FROM events)
+            SELECT event_type, p_millis, value, n
+            FROM ranked, unnest([500, 900, 990]) AS t(p_millis)
+            WHERE rn = (p_millis * n + 999) // 1000
+            ORDER BY event_type, p_millis
         """,
         "q_kcore": _sql_kcore(),
         "q_kfold": """
