@@ -2774,6 +2774,18 @@ def q_rank_percentiles(spark, sf_dir):
     ).orderBy("event_type", "p_millis")
 
 
+def q_kwic(spark, sf_dir):
+    """KWIC concordance (operators/concordance.py): ±3-token windows
+    around every whole-token hit of 'merge' — map-only, zero shuffles,
+    cost linear in hits."""
+    from document_extraction_spark.operators.concordance import kwic
+
+    d = _t(spark, sf_dir, "documents")
+    return kwic(d, "doc_id", "text", "merge", window=3).orderBy(
+        "doc_id", "hit_pos"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract registry.  ORDER MATTERS: the driver verifies the FIRST 50
     entries only (hard cut observed since round 2), so the window follows
@@ -2853,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topic_segments": q_topic_segments,
         "q_seq_fingerprint": q_seq_fingerprint,
         "q_rank_percentiles": q_rank_percentiles,
+        "q_kwic": q_kwic,
         "x_binary_extract": x_binary_extract,        # rotated out r5 (rows r3+r4)
         "x_extract_documents_full": x_extract_documents_full,  # rotated out r5 (rows r3+r4)
         "x_hll_sketches": x_hll_sketches,            # rotated out r5 (rows r3+r4)
@@ -3825,6 +3838,26 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM ranked, unnest([500, 900, 990]) AS t(p_millis)
             WHERE rn = (p_millis * n + 999) // 1000
             ORDER BY event_type, p_millis
+        """,
+        "q_kwic": """
+            WITH tkd AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents WHERE text IS NOT NULL),
+            hits AS (
+              SELECT doc_id, tk,
+                     generate_subscripts(tk, 1)::BIGINT - 1 AS hit_pos,
+                     unnest(tk) AS tok
+              FROM tkd)
+            SELECT doc_id, hit_pos,
+                   array_to_string(
+                     list_slice(tk, greatest(hit_pos + 1 - 3, 1),
+                                least(hit_pos + 1 + 3, len(tk))), ' ')
+                     AS snippet,
+                   len(tk)::BIGINT AS n_tokens
+            FROM hits WHERE tok = 'merge'
+            ORDER BY doc_id, hit_pos
         """,
         "q_kcore": _sql_kcore(),
         "q_kfold": """
