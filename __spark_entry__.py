@@ -3590,7 +3590,11 @@ def _oracle_sql_literals() -> dict[str, str]:
                    FROM based)
             SELECT host, w, base, rem,
                    (base + CASE WHEN rk <= lo.l THEN 1 ELSE 0 END)::BIGINT AS alloc
-            FROM rk CROSS JOIN lo ORDER BY host
+            FROM rk CROSS JOIN lo
+            UNION ALL
+            SELECT host, w, 0::BIGINT, 0::BIGINT, 0::BIGINT
+            FROM hosts WHERE w IS NULL OR w <= 0
+            ORDER BY host
         """,
         "q_mutual_top1": f"""
             WITH scored AS (

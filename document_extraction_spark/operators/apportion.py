@@ -38,12 +38,15 @@ def apportion(df: DataFrame, key_col: str, weight_col: str,
               budget: int) -> DataFrame:
     """(key, w, base, rem, alloc) with sum(alloc) == budget exactly.
 
-    Rows with non-positive weight get alloc 0 and never receive a
-    remainder seat (they carry no proportional claim)."""
-    rows = df.select(
+    Rows with non-positive (or NULL) weight appear in the output with
+    base = rem = alloc = 0 — they carry no proportional claim and never
+    receive a remainder seat, but callers joining allocations back to the
+    key table get FULL key coverage (r5 ADVICE fix)."""
+    all_rows = df.select(
         F.col(key_col).alias("k"),
         F.col(weight_col).cast("long").alias("w"),
-    ).where(F.col("w") > 0)
+    )
+    rows = all_rows.where(F.col("w") > 0)
     # note: Spark resolution is case-insensitive — the scalar names must not
     # collide with "w" even by case
     tot = rows.agg(F.sum("w").alias("tot_w"))
@@ -60,7 +63,7 @@ def apportion(df: DataFrame, key_col: str, weight_col: str,
     w_all = w_rk.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return (
+    seated = (
         based.withColumn("rk", F.row_number().over(w_rk))
         .withColumn("_base_sum", F.sum("base").over(w_all))
         .select(
@@ -74,3 +77,14 @@ def apportion(df: DataFrame, key_col: str, weight_col: str,
             .cast("long").alias("alloc"),
         )
     )
+    # NULL-safe complement of (w > 0): ~(NULL > 0) is NULL and would drop
+    zeros = all_rows.where(
+        F.col("w").isNull() | (F.col("w") <= 0)
+    ).select(
+        F.col("k").alias(key_col),
+        "w",
+        F.lit(0).cast("long").alias("base"),
+        F.lit(0).cast("long").alias("rem"),
+        F.lit(0).cast("long").alias("alloc"),
+    )
+    return seated.unionByName(zeros)

@@ -71,7 +71,11 @@ def bloom_prefilter(probes: DataFrame, col: str, bloom: DataFrame,
     """Probe rows that MIGHT be members (all k bits set): the map-side
     prune to run before an expensive join. No false negatives; false
     positives are removed by the real join that follows."""
-    pb = probes.select(
+    # Membership is a property of the KEY, so test each distinct key once:
+    # summing per-(key,i) hits over duplicate probe rows would give a member
+    # key with multiplicity m a total of m*k and fail the == k test (a false
+    # negative).  The closing left_semi restores full probe multiplicity.
+    pb = probes.select(col).distinct().select(
         F.col(col),
         F.posexplode(F.array(*_buckets(F.col(col), k, m_bits))).alias("i", "pos"),
     ).select(

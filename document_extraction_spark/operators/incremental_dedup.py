@@ -61,7 +61,14 @@ def _band_buckets(sig: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS,
     return (
         sig.select("doc_id", *[f"h{i}" for i in range(k)],
                    F.explode(band_cols).alias("bucket"))
-        .withColumn("bp", F.substring(F.col("bucket"), 3, bp_len))
+        # bp comes from the md5 part AFTER the "{band}:" prefix — substring
+        # at a fixed offset would degenerate for bands >= 10 (two-digit band
+        # prefixes shift the hash, collapsing those bands' partitions and
+        # defeating the pruning; r5 ADVICE fix)
+        .withColumn(
+            "bp",
+            F.substring(F.substring_index(F.col("bucket"), ":", -1), 1, bp_len),
+        )
     )
 
 

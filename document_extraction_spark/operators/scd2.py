@@ -59,7 +59,9 @@ def scd2_apply(history: DataFrame, batch: DataFrame, key: str, attr: str,
     """MERGE one change batch (one row per key: the new version) into an
     SCD2 history: close the open interval of every batched key at the batch
     row's ts, append the new open version; no-op when the open version
-    already carries the same attribute.
+    already carries the same attribute.  A batch key with NO history rows is
+    an INSERT: it becomes a brand-new open version (r5 ADVICE fix — the
+    apply == rebuild-from-extended-log invariant must hold for new keys too).
 
     Only batched keys shuffle; ``history`` rows for other keys pass through
     untouched (Catalyst keeps the untouched branch scan-only).
@@ -88,4 +90,14 @@ def scd2_apply(history: DataFrame, batch: DataFrame, key: str, attr: str,
             F.lit(True).alias("is_current"),
         )
     )
-    return closed.unionByName(fresh)
+    inserts = (
+        b.join(history.select(key), key, "left_anti")
+        .select(
+            key,
+            F.col("_new_attr").alias(attr),
+            F.col("_new_ts").alias("valid_from"),
+            F.lit(None).cast(closed.schema["valid_to"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed.unionByName(fresh).unionByName(inserts)

@@ -53,3 +53,16 @@ def test_prefilter_preserves_probe_schema(spark):
     kept = {r["k"]: r["payload"] for r in out.collect()}
     for k, v in kept.items():
         assert v == 2 * k
+
+
+def test_duplicate_probe_keys_not_false_negatives(spark):
+    """r5 ADVICE (high): summing per-(key,i) hits over duplicate probe rows
+    gave member keys with multiplicity m a total of m*k, failing the == k
+    test. Membership must be decided per DISTINCT key."""
+    members = spark.range(0, 100).select(F.col("id").alias("k"))
+    bf = bloom.bloom_build(members, "k")
+    # 200 probe rows over 100 member keys, each key twice
+    probes = spark.range(0, 200).select((F.col("id") % 100).alias("k"))
+    out = bloom.bloom_prefilter(probes, "k", bf)
+    assert out.count() == 200  # every duplicate row survives
+    assert out.select("k").distinct().count() == 100

@@ -81,3 +81,29 @@ def test_exact_dup_maxes_estimator(spark):
     r = flag_new_batch(spark, batch, path).collect()[0]
     assert r["is_dup"] and r["dup_of"] == 2
     assert r["n_eq"] == 8 and r["est_jaccard"] == 1.0
+
+
+def test_bp_derived_from_hash_not_fixed_offset(spark):
+    """r5 ADVICE (low): with bands >= 10 a fixed substring(bucket, 3, n)
+    lands inside the '{band}:' prefix for two-digit bands, collapsing their
+    partitions.  bp must come from the md5 part after the colon for EVERY
+    band, keeping all 16 hex values reachable per band."""
+    from document_extraction_spark.operators.incremental_dedup import (
+        _band_buckets,
+    )
+    from document_extraction_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, f"document number {i} with shared words and token {i % 7} "
+                f"plus unique tail {i * 31}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # k=24, bands=12 -> band indices 0..11 include two-digit bands
+    sig = minhash_signatures(df, "doc_id", "text", 24)
+    b = _band_buckets(sig, k=24, bands=12)
+    got = b.select(
+        "bucket", "bp",
+        F.substring(F.substring_index("bucket", ":", -1), 1, 1).alias("want"),
+    ).collect()
+    assert all(r["bp"] == r["want"] for r in got)
+    # two-digit bands must NOT all collapse onto ':' / a digit slice
+    hi = b.where(F.split("bucket", ":")[0].cast("int") >= 10)
+    assert hi.select("bp").distinct().count() > 1

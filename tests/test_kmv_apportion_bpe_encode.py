@@ -109,10 +109,14 @@ def test_apportion_sums_to_budget_and_bounds(spark):
     out = apportion(df, "host", "w", budget=101).collect()
     total_w = 17 + 5 + 78 + 1
     assert sum(r["alloc"] for r in out) == 101
-    assert {r["host"] for r in out} == {"h1", "h2", "h3", "h4"}  # w<=0 dropped
+    # w<=0 keys stay in the output with alloc 0 (r5 ADVICE fix)
+    assert {r["host"] for r in out} == {"h1", "h2", "h3", "h4", "h5", "h6"}
     for r in out:
-        share = 101 * r["w"] / total_w
-        assert share - 1 < r["alloc"] < share + 1
+        if r["w"] is not None and r["w"] > 0:
+            share = 101 * r["w"] / total_w
+            assert share - 1 < r["alloc"] < share + 1
+        else:
+            assert r["alloc"] == 0
 
 
 def test_apportion_degenerate_single_key(spark):
@@ -146,3 +150,17 @@ def test_bpe_encode_greedy_leftmost(spark):
     row = bpe_encode(docs, [(1, "<a><a>", 1)]).collect()[0]
     assert row["enc_hash"] == hashlib.md5(b"<aa><a>").hexdigest()
     assert row["n_symbols"] == 2
+
+
+def test_apportion_keeps_nonpositive_weight_keys(spark):
+    """r5 ADVICE (low): keys with w <= 0 (or NULL) stay in the output with
+    alloc = 0 so joins back to the key table lose nothing."""
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 0), ("c", -5), ("d", None), ("e", 30)],
+        "host string, w int",
+    )
+    out = {r["host"]: r for r in apportion(df, "host", "w", budget=7).collect()}
+    assert set(out) == {"a", "b", "c", "d", "e"}
+    assert sum(r["alloc"] for r in out.values()) == 7
+    for k in ("b", "c", "d"):
+        assert out[k]["alloc"] == 0 and out[k]["base"] == 0 and out[k]["rem"] == 0

@@ -73,3 +73,22 @@ def test_apply_untouched_keys_pass_through(spark):
     applied = S2.scd2_apply(hist, batch, "k", "a", "ts")
     u2 = [r for r in applied.collect() if r.k == "u2"]
     assert len(u2) == 1 and u2[0].is_current and u2[0].a == "pro"
+
+
+def test_apply_inserts_brand_new_keys(spark):
+    """r5 ADVICE (medium): a batch key with no history rows must become a
+    new open version, keeping apply == rebuild for inserts too."""
+    base = spark.createDataFrame(LOG, SCHEMA)
+    hist = S2.scd2_from_log(base, "k", "a", "ts", "seq")
+    batch_rows = [
+        ("u3", "free", _ts("2024-04-01T00:00:00"), 6),         # brand-new key
+        ("u1", "enterprise", _ts("2024-04-01T00:00:00"), 7),   # real change
+    ]
+    batch = spark.createDataFrame(batch_rows, SCHEMA)
+    applied = S2.scd2_apply(hist, batch, "k", "a", "ts")
+    rebuilt = S2.scd2_from_log(
+        spark.createDataFrame(LOG + batch_rows, SCHEMA), "k", "a", "ts", "seq"
+    )
+    assert _rows(applied) == _rows(rebuilt)
+    u3 = [r for r in applied.collect() if r.k == "u3"]
+    assert len(u3) == 1 and u3[0].is_current and u3[0].valid_to is None
