@@ -2791,18 +2791,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries only (hard cut observed since round 2), so the window follows
     the rotation discipline VERDICT r3 endorsed: every entry ADDED or
     BEHAVIOR-CHANGED this round sits inside the first 50; only twice-proven
-    entries rotate out (r4 rotated q_sentence_explode, q_salted_skew_join,
-    x_udtf_sentences, x_pandas_udf_classify, x_binary_source, x_srp_lsh_topk
-    — each green in two prior rounds).  Round-4 in-window news: the six new
-    entries (q_gap_fill_2h, q_sliding_chunks, q_weighted_sample,
-    q_semantic_decontaminate, q_corpus_drift, x_hll_persist) plus the
-    behavior-changed q_token_budget_mix / q_inverted_index / q_bm25_topk /
-    q_fuzzy_pairs / q_gap_fill / q_pack_context / x_ivf_ann_topk.
-    Cumulative evidence for rotated-out entries stands in prior CORRECTNESS
-    files; ALL oracle entries (in-window or not) are locally verified every
-    round by tools/check_oracles.py (r4: 85/85 OK)."""
+    entries rotate out.  Round-6 rotation (done at round START per the r5
+    process ask, not batched to round end): rotated OUT the 12 twice-proven
+    entries q_ann_topk, x_ivf_ann_topk, x_media_features, x_synth_source,
+    x_synth_stream, x_hll_persist, q_gap_fill_2h, q_sliding_chunks,
+    q_weighted_sample, q_semantic_decontaminate, q_corpus_drift,
+    q_fuzzy_pairs; rotated IN the 7 r5-authored entries that sat below the
+    cut (q_kmv_intersect, q_quota_sample, q_reliability, q_topic_segments,
+    q_seq_fingerprint, q_rank_percentiles, q_kwic).  Behavior-changed r6
+    entries stay in-window: q_bloom_prefilter (distinct-key probe fix),
+    q_scd2_history, q_crawl_budget (zero-weight coverage),
+    q_incremental_dedup (bp-from-hash fix).  Cumulative evidence for
+    rotated-out entries stands in prior CORRECTNESS files; ALL oracle
+    entries (in-window or not) are locally verified every round by
+    tools/check_oracles.py."""
     return {
-        # -- (a) driver-unverified as of r02: 9 oracle-backed ...
+        # -- (a) never-driver-verified entries first
+        "q_kmv_intersect": q_kmv_intersect,          # authored r5, in-window r6
+        "q_quota_sample": q_quota_sample,            # authored r5, in-window r6
+        "q_reliability": q_reliability,              # authored r5, in-window r6
+        "q_topic_segments": q_topic_segments,        # authored r5, in-window r6
+        "q_seq_fingerprint": q_seq_fingerprint,      # authored r5, in-window r6
+        "q_rank_percentiles": q_rank_percentiles,    # authored r5, in-window r6
+        "q_kwic": q_kwic,                            # authored r5, in-window r6
         "q_media_decode": q_media_decode,  # new r5: oracle-verified image decode
         "q_audio_decode": q_audio_decode,  # new r5: oracle-verified WAV decode
         "q_video_frames": q_video_frames,  # new r5: oracle-verified frame sample
@@ -2810,18 +2821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_quality": q_lm_quality,                      # new r5: trigram LM
         "q_bloom_prefilter": q_bloom_prefilter,            # new r5: runtime filter
         "q_phrase_search": q_phrase_search,                # new r5: positional
-        "q_ann_topk": q_ann_topk,  # back in-window r5: now the arrow matmul kernel
         # -- ... and 15 rows-only (streaming / binary / media / UDTF / ANN)
-        "x_ivf_ann_topk": x_ivf_ann_topk,
-        "x_media_features": x_media_features,
-        "x_synth_source": x_synth_source,
-        "x_synth_stream": x_synth_stream,
-        "x_hll_persist": x_hll_persist,  # new r4: sketch-state round-trip
         # -- (b) fixed / new this round
         "q_hybrid_rrf": q_hybrid_rrf,                      # new r5: RRF fusion
         "q_outlier_events": q_outlier_events,              # new r5: MAD outliers
         "q_manifest_prune": q_manifest_prune,              # new r5: data skipping
-        "q_gap_fill_2h": q_gap_fill_2h,  # new r4: multi-unit-step fix
         "q_agg_state": q_agg_state,                        # new r5: incr. aggs
         "x_transcript_qc": x_transcript_qc,                # new r5: QC (rows)
         "q_quantized_ann": q_quantized_ann,                # new r5: int8 ANN
@@ -2835,18 +2839,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_market_share": q_market_share,                  # new r5: Q8 shape
         "q_schema_evolution": q_schema_evolution,          # new r5: evolved read
         "q_kfold": q_kfold,                                # new r5: CV folds
-        "q_sliding_chunks": q_sliding_chunks,              # new r4
-        "q_weighted_sample": q_weighted_sample,            # new r4
         "q_weighted_sample_distributed": q_weighted_sample_distributed,  # new r5
-        "q_semantic_decontaminate": q_semantic_decontaminate,  # new r4
-        "q_corpus_drift": q_corpus_drift,                  # new r4
         "q_duplicate_spans": q_duplicate_spans,            # new r5
         "q_incremental_dedup": q_incremental_dedup,        # new r5
         "q_zorder_curve": q_zorder_curve,                  # new r5
         "q_host_pagerank": q_host_pagerank,                # new r5
         "q_cms_freq": q_cms_freq,                          # new r5
         "q_scd2_history": q_scd2_history,                  # new r5
-        "q_fuzzy_pairs": q_fuzzy_pairs,
         "q_kmv_distinct": q_kmv_distinct,                  # new r5: KMV sketch
         "q_crawl_budget": q_crawl_budget,                  # new r5: apportionment
         "q_bpe_encode": q_bpe_encode,                      # new r5: BPE encode
@@ -2857,15 +2856,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changepoint": q_changepoint,                    # new r5: CUSUM scan
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
-        # new r5 BELOW the window (window saturated with never-driver-verified
-        # entries; locally oracle-verified, enters the window in r6):
-        "q_kmv_intersect": q_kmv_intersect,
-        "q_quota_sample": q_quota_sample,
-        "q_reliability": q_reliability,
-        "q_topic_segments": q_topic_segments,
-        "q_seq_fingerprint": q_seq_fingerprint,
-        "q_rank_percentiles": q_rank_percentiles,
-        "q_kwic": q_kwic,
+        "q_ann_topk": q_ann_topk,                    # rotated out r6 (green r1+r2+r5)
+        "x_ivf_ann_topk": x_ivf_ann_topk,            # rotated out r6 (rows r1+r3+r4+r5)
+        "x_media_features": x_media_features,        # rotated out r6 (rows r3+r4+r5)
+        "x_synth_source": x_synth_source,            # rotated out r6 (rows r3+r4+r5)
+        "x_synth_stream": x_synth_stream,            # rotated out r6 (rows r3+r4+r5)
+        "x_hll_persist": x_hll_persist,              # rotated out r6 (rows r4+r5)
+        "q_gap_fill_2h": q_gap_fill_2h,              # rotated out r6 (green r4+r5)
+        "q_sliding_chunks": q_sliding_chunks,        # rotated out r6 (green r4+r5)
+        "q_weighted_sample": q_weighted_sample,      # rotated out r6 (green r4+r5)
+        "q_semantic_decontaminate": q_semantic_decontaminate,  # rotated out r6 (green r4+r5)
+        "q_corpus_drift": q_corpus_drift,            # rotated out r6 (green r4+r5)
+        "q_fuzzy_pairs": q_fuzzy_pairs,              # rotated out r6 (green r3+r4+r5)
         "x_binary_extract": x_binary_extract,        # rotated out r5 (rows r3+r4)
         "x_extract_documents_full": x_extract_documents_full,  # rotated out r5 (rows r3+r4)
         "x_hll_sketches": x_hll_sketches,            # rotated out r5 (rows r3+r4)
