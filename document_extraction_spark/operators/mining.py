@@ -18,10 +18,13 @@ Distributed shape (scores computed ONCE — structurally, not by cache):
   whole cross product per branch, doubling the quadratic cost).
 
 At 100 TB neither side is broadcastable and the cross product is the cost:
-the scale path swaps the exact scorer for SRP-bucketed candidates
-(similarity.py srp_* — score only colliding buckets, same downstream
-mutuality join), trading recall for the quadratic. The mutual filter is
-unchanged either way, which is why it lives here as its own operator.
+``mutual_top1_srp`` swaps the exact scorer for banded SRP-bucketed
+candidates (similarity.py banding recipe — score only colliding buckets,
+(band, bucket) equi-join so NEITHER side broadcasts), then applies the SAME
+chained two-window mutuality filter, trading candidate recall for the
+quadratic. At bands == n_planes (1 sign bit per band) the candidate set
+converges to all informative pairs and the output equals the exact path —
+test_mining_calibrate pins that equality on the sf0.001 embeddings.
 """
 
 from __future__ import annotations
@@ -29,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from document_extraction_spark.operators.similarity import cosine
+from document_extraction_spark.operators.similarity import (
+    _checked_dim,
+    _hyperplanes,
+    cosine,
+    srp_signature,
+)
 
 
 def mutual_top1_pairs(
@@ -58,6 +66,14 @@ def mutual_top1_pairs(
         )
         .select("left_id", "right_id", F.col("_raw"), F.round("_raw", 4).alias("cos"))
     )
+    return _mutual_filter(scored, min_cos)
+
+
+def _mutual_filter(scored: DataFrame, min_cos: float | None) -> DataFrame:
+    """Chained two-window mutuality over one scored child (columns
+    left_id, right_id, _raw, cos): a pair is mutual iff the SAME row has
+    row_number 1 under both partitionings — no self-join, the scored
+    subtree is read once."""
     w_l = Window.partitionBy("left_id").orderBy(F.col("_raw").desc(), "right_id")
     w_r = Window.partitionBy("right_id").orderBy(F.col("_raw").desc(), "left_id")
     out = (
@@ -69,3 +85,79 @@ def mutual_top1_pairs(
     if min_cos is not None:
         out = out.where(F.col("cos") >= min_cos)
     return out
+
+
+def mutual_top1_srp(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 1234,
+    min_cos: float | None = None,
+) -> DataFrame:
+    """The non-broadcastable-scale variant of :func:`mutual_top1_pairs`:
+    candidates come from a banded signed-random-projection (band, bucket)
+    EQUI-join — both sides shuffle on the bucket key, neither broadcasts,
+    so the plan survives two 100 TB corpora.  Each surviving candidate pair
+    is scored exactly once (dedup on (left_id, right_id) BEFORE the O(dim)
+    cosine), then the identical chained two-window mutuality filter runs
+    over the candidate scores.
+
+    Recall semantics: "top-1" is within the candidate set, so a pair whose
+    true nearest neighbour never collides in any band can surface a
+    second-best mutual pair instead; for cosine c a sign bit agrees with
+    prob 1 - acos(c)/pi, so recall is tuned by bands x per-band bits
+    exactly as in similarity.srp_near_dup_pairs.  At bands == n_planes
+    (one bit per band) a pair misses every band only if ALL n sign bits
+    disagree — on real corpora the candidate set converges to all
+    informative pairs and the output equals the exact path (pytest-pinned).
+    """
+    if n_planes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
+    per_band = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+    vec_ok = _checked_dim(F.col(vec_col), dim)
+
+    def banded(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        band_cols = [
+            srp_signature(
+                vec_ok, planes[b * per_band : (b + 1) * per_band]
+            ).alias(f"_b{b}")
+            for b in range(bands)
+        ]
+        sig = df.select(
+            F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out), *band_cols
+        )
+        return sig.select(
+            id_out,
+            vec_out,
+            F.explode(
+                F.array(*[
+                    F.concat_ws(
+                        ":", F.lit(str(b)), F.col(f"_b{b}").cast("string")
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bucket"),
+        )
+
+    cand = (
+        banded(left, "left_id", "lvec")
+        .join(banded(right, "right_id", "rvec"), "bucket")
+        # one score per PAIR, not per colliding band
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    scored = (
+        cand.select(
+            "left_id",
+            "right_id",
+            cosine(F.col("lvec"), F.col("rvec")).alias("_raw"),
+        )
+        .select(
+            "left_id", "right_id", F.col("_raw"), F.round("_raw", 4).alias("cos")
+        )
+    )
+    return _mutual_filter(scored, min_cos)

@@ -78,3 +78,43 @@ def test_calibrate_cross_group_threshold(spark, scores):
             .where(F.col("calibrated") >= 0.5).collect()}
     # the 20.0 tie pair shares rank 2 of 4 -> calibrated 1/3, below the bar
     assert kept == {4, 6}
+
+
+def test_srp_matches_exact_path_on_real_embeddings(spark, testdata_dir):
+    """VERDICT r5 ask: the SRP-bucketed scale variant, pinned to the exact
+    broadcast path at one-bit-per-band (bands == n_planes) on the sf0.001
+    embeddings — candidate recall converges so the outputs must be EQUAL."""
+    from document_extraction_spark.operators.mining import mutual_top1_srp
+
+    emb = spark.read.parquet(f"{testdata_dir}/sf0.001/embeddings.parquet")
+    left = emb.where(F.col("vec_id") % 2 == 0)
+    right = emb.where(F.col("vec_id") % 2 == 1)
+    exact = {(r["left_id"], r["right_id"], r["cos"])
+             for r in mutual_top1_pairs(left, right).collect()}
+    srp = {(r["left_id"], r["right_id"], r["cos"])
+           for r in mutual_top1_srp(left, right, n_planes=16, bands=16,
+                                    dim=64).collect()}
+    assert exact and srp == exact
+
+
+def test_srp_plan_has_no_cross_product(spark):
+    """The scale path must not contain ANY nested-loop/cartesian join —
+    candidates come from a (band, bucket) equi-join."""
+    from document_extraction_spark.operators.mining import mutual_top1_srp
+
+    left = _vecs(spark, [(0, (1.0, 0.0)), (2, (0.0, 1.0))])
+    right = _vecs(spark, [(1, (0.9, 0.1)), (3, (0.1, 0.9))])
+    plan = mutual_top1_srp(left, right, n_planes=4, bands=4, dim=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_srp_hub_property_holds(spark):
+    from document_extraction_spark.operators.mining import mutual_top1_srp
+
+    left = _vecs(spark, [(0, (1.0, 0.0)), (1, (0.9, 0.1))])
+    right = _vecs(spark, [(10, (1.0, 0.01)), (11, (0.0, -1.0))])
+    got = {(r["left_id"], r["right_id"]) for r in
+           mutual_top1_srp(left, right, n_planes=8, bands=8, dim=2).collect()}
+    assert got == {(0, 10)}
