@@ -1872,11 +1872,13 @@ def x_media_features(spark, sf_dir):
 
 def q_media_decode(spark, sf_dir):
     """End-to-end image decode proof, ORACLE-VERIFIED: generate closed-form
-    pixels per doc, encode as PPM/BMP bytes, decode with the pure-numpy
-    decoders (operators/multimodal.py), and report format + dimensions + the
-    exact pixel-value sum. The DuckDB twin recomputes every value from the
-    generator formula WITHOUT any image code — a hash match proves the
-    encode->decode round trip is byte-exact for both container formats."""
+    pixels per doc, encode as PPM/BMP/PNG bytes (PNG: Up-filtered DEFLATE
+    via stdlib zlib — the reference's native page-image format), decode with
+    the no-codec-library decoders (operators/multimodal.py), and report
+    format + dimensions + the exact pixel-value sum. The DuckDB twin
+    recomputes every value from the generator formula WITHOUT any image
+    code — a hash match proves the encode->decode round trip is byte-exact
+    for all three container formats."""
     d = _t(spark, sf_dir, "documents")
     media = MM.synth_image_media_df(spark, d)
     return MM.media_decode_summary(media).orderBy("media_id")
@@ -4876,7 +4878,7 @@ ORDER BY doc_id
         "q_media_decode": """
             WITH dims AS (
               SELECT doc_id,
-                     CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                     CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
                      8 + doc_id % 9 AS w,
                      8 + (doc_id // 3) % 9 AS h
               FROM documents),

@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched kernels over ``mapInPandas``.
 
-The decode step is REAL for uncompressed raster formats (round-5): a
-pure-numpy decoder for binary PPM/PGM (P6/P5) and 24-bpp uncompressed BMP —
-header parse + ``np.frombuffer``, no codec libraries. PIL, when installed,
-is the import-guarded upgrade for compressed formats (PNG/JPEG); payloads
+The decode step is REAL without codec libraries: pure-numpy decoders for
+binary PPM/PGM (P6/P5) and 24-bpp uncompressed BMP (round-5), plus 8-bit
+non-interlaced PNG via stdlib zlib inflate + numpy scanline unfiltering
+(round-6 — PNG is the reference's native page-image format). PIL, when
+installed, is the import-guarded upgrade for JPEG and the rest; payloads
 neither path can decode fall back to the byte-level feature stand-in with
 ``decoded = false`` so the pipeline never crashes on a corrupt object.
 
@@ -127,11 +128,148 @@ def _decode_bmp(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(rows[:, :, ::-1])  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec 9.2): ``raw`` is the zlib
+    output, one filter byte + ``stride`` data bytes per row. Returns the
+    (h, stride) reconstructed byte matrix. Up/None rows vectorize; Sub/
+    Average/Paeth carry a left-pixel dependency, so those rows walk in
+    ``bpp``-wide vector steps (columns/bpp python iterations per row)."""
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = raw[y, 1:].astype(np.int32)
+        f = filters[y]
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = np.zeros(stride, dtype=np.int32)
+            for x0 in range(0, stride, bpp):
+                sl = slice(x0, x0 + bpp)
+                left = rec[x0 - bpp : x0] if x0 else np.zeros(bpp, dtype=np.int32)
+                up = prev[sl]
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:  # Paeth
+                    ul = (
+                        prev[x0 - bpp : x0]
+                        if x0
+                        else np.zeros(bpp, dtype=np.int32)
+                    )
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                rec[sl] = (cur[sl] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(buf: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + numpy unfilter): 8-bit
+    greyscale (0), truecolor (2) and truecolor+alpha (6, alpha dropped),
+    non-interlaced — the reference's native page-image format
+    (/root/reference/src/pdf_extractor/extractor.py:28-29 emits PNG page
+    bytes). No codec libraries: DEFLATE via stdlib zlib, filters 0-4."""
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, n = 8, len(buf)
+    idat = bytearray()
+    w = h = None
+    bit_depth = color_type = interlace = None
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("PNG chunk truncated")
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG (depth={bit_depth}, "
+            f"interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    arr = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if channels == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif channels == 4:
+        arr = arr[:, :, :3]
+    return np.ascontiguousarray(arr)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB -> truecolor 8-bit PNG bytes (round-trips
+    through _decode_png). ``filter_type`` 0 (None) or 2 (Up) keep the
+    encoder vectorized; CRCs via stdlib zlib.crc32."""
+    import zlib
+
+    if filter_type not in (0, 2):
+        raise ValueError("encoder supports filter types 0 and 2 only")
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    flat = arr.reshape(h, w * 3)
+    if filter_type == 2:
+        deltas = flat.astype(np.int16)
+        deltas[1:] -= flat[:-1].astype(np.int16)
+        body_rows = (deltas & 0xFF).astype(np.uint8)
+    else:
+        body_rows = flat
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), body_rows], axis=1
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), 6)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload, mime: str | None = None) -> np.ndarray:
-    """Decode an image payload to an (H, W, 3) uint8 RGB array. Pure-numpy
-    paths: binary PPM/PGM (P6/P5) and 24-bpp uncompressed BMP. PIL, when
-    importable, handles everything else; otherwise raises ValueError (callers
-    treat that as 'fall back to byte features', never a crash)."""
+    """Decode an image payload to an (H, W, 3) uint8 RGB array. No-codec-
+    library paths: binary PPM/PGM (P6/P5), 24-bpp uncompressed BMP, and
+    8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfilter — the
+    reference's native page-image format). PIL, when importable, handles
+    everything else (JPEG etc.); otherwise raises ValueError (callers treat
+    that as 'fall back to byte features', never a crash)."""
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
     buf = bytes(payload)
@@ -139,6 +277,8 @@ def decode_image(payload, mime: str | None = None) -> np.ndarray:
         return _decode_ppm(buf)
     if buf[:2] == b"BM":
         return _decode_bmp(buf)
+    if buf[:8] == _PNG_SIG:
+        return _decode_png(buf)
     try:  # import-guarded upgrade for compressed formats
         import io
 
@@ -558,7 +698,9 @@ def media_decode_summary(media: DataFrame) -> DataFrame:
                 fmt = (
                     "ppm"
                     if buf[:2] in (b"P6", b"P5")
-                    else "bmp" if buf[:2] == b"BM" else "other"
+                    else "bmp"
+                    if buf[:2] == b"BM"
+                    else "png" if buf[:8] == _PNG_SIG else "other"
                 )
                 try:
                     img = decode_image(buf)
@@ -598,10 +740,12 @@ def synth_image_pixels(doc_id: int) -> np.ndarray:
 
 def synth_image_media_df(spark, documents: DataFrame) -> DataFrame:
     """Deterministic REAL-image media table derived from the documents
-    corpus: each doc becomes a decodable raster — binary P6 PPM for even
-    ids, 24-bpp BMP for odd ids — so both numpy decoders are exercised by
-    every downstream query. Generation is executor-side over mapInPandas
-    (scales with partitions; nothing materializes on the driver)."""
+    corpus: each doc becomes a decodable raster — binary P6 PPM for
+    doc_id % 3 == 0, 24-bpp BMP for % 3 == 1, 8-bit truecolor PNG (Up-
+    filtered, DEFLATE) for % 3 == 2 — so all three no-codec-library
+    decoders are exercised by every downstream query. Generation is
+    executor-side over mapInPandas (scales with partitions; nothing
+    materializes on the driver)."""
     from document_extraction_spark.session import ensure_worker_package
 
     ensure_worker_package(spark)
@@ -614,10 +758,12 @@ def synth_image_media_df(spark, documents: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 arr = synth_image_pixels(did)
-                if did % 2 == 0:
+                if did % 3 == 0:
                     payload, mime = encode_ppm(arr), "image/x-portable-pixmap"
-                else:
+                elif did % 3 == 1:
                     payload, mime = encode_bmp(arr), "image/bmp"
+                else:
+                    payload, mime = encode_png(arr, filter_type=2), "image/png"
                 rows.append(
                     (did, "image", mime, payload, arr.shape[1], arr.shape[0], 0)
                 )

@@ -89,7 +89,7 @@ def test_decode_rejects_corrupt_and_unknown():
 def test_synth_images_decode_to_real_dims(spark):
     """The synthetic image table's payloads are REAL rasters: features carry
     width/height from decoded pixels matching the generator's closed form,
-    for both the PPM (even id) and BMP (odd id) flavors."""
+    for the PPM (id%3==0), BMP (id%3==1) and PNG (id%3==2) flavors."""
     docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
     media = MM.synth_image_media_df(spark, docs)
     rows = {r["media_id"]: r for r in MM.extract_media_features(media).collect()}
@@ -107,7 +107,7 @@ def test_synth_images_decode_to_real_dims(spark):
     for did, r in sums.items():
         arr = MM.synth_image_pixels(did)
         assert r["pix_sum"] == int(arr.astype(np.int64).sum())
-        assert r["fmt"] == ("ppm" if did % 2 == 0 else "bmp")
+        assert r["fmt"] == {0: "ppm", 1: "bmp", 2: "png"}[did % 3]
 
 
 def test_resize_real_pixels_nearest_neighbor(spark):
@@ -254,3 +254,132 @@ def test_byte_fallback_deterministic():
     assert list(out["features"][0]) == list(out["features"][1])
     assert not out["decoded"].any()  # plain text takes the byte path
     assert out["width"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# PNG (round-6): stdlib-zlib decode, all five filter types, color types
+# ---------------------------------------------------------------------------
+
+
+def _png_forward_filter(img, filters):
+    """Spec 9.2 FORWARD filtering (test-side reference implementation):
+    build the zlib payload for `img` applying `filters[y]` per scanline."""
+    import numpy as np
+
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    out = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y]
+        row = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            left = cur[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            row[x] = (cur[x] - pred) & 0xFF
+        out.append(bytes([f]) + row.astype(np.uint8).tobytes())
+        prev = cur
+    return b"".join(out)
+
+
+def _png_wrap(w, h, color_type, zpayload):
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(zpayload)) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_filters_0_and_2():
+    import numpy as np
+
+    from document_extraction_spark.operators.multimodal import (
+        _decode_png, encode_png, synth_image_pixels)
+
+    for did in (2, 5, 17, 40):
+        arr = synth_image_pixels(did)
+        for ft in (0, 2):
+            assert np.array_equal(_decode_png(encode_png(arr, ft)), arr)
+
+
+def test_png_all_five_filters_decode_exactly():
+    import zlib
+
+    import numpy as np
+
+    from document_extraction_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4]
+    buf = _png_wrap(6, 5, 2, _png_forward_filter(img, filters))
+    assert np.array_equal(_decode_png(buf), img)
+
+
+def test_png_gray_and_rgba_color_types():
+    import numpy as np
+
+    from document_extraction_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    buf = _png_wrap(3, 4, 0, _png_forward_filter(gray, [0, 1, 2, 4]))
+    assert np.array_equal(_decode_png(buf), np.repeat(gray, 3, axis=2))
+
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    buf = _png_wrap(3, 3, 6, _png_forward_filter(rgba, [4, 3, 1]))
+    assert np.array_equal(_decode_png(buf), rgba[:, :, :3])
+
+
+def test_png_rejects_interlace_and_16bit():
+    import struct
+    import zlib
+
+    import pytest
+
+    from document_extraction_spark.operators.multimodal import _decode_png
+
+    def ihdr_png(depth, interlace):
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", crc))
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(ValueError, match="interlace"):
+        _decode_png(ihdr_png(8, 1))
+    with pytest.raises(ValueError, match="depth"):
+        _decode_png(ihdr_png(16, 0))
+
+
+def test_decode_image_dispatches_png():
+    import numpy as np
+
+    from document_extraction_spark.operators.multimodal import (
+        decode_image, encode_png, synth_image_pixels)
+
+    arr = synth_image_pixels(8)
+    assert np.array_equal(decode_image(encode_png(arr, 2)), arr)
