@@ -2647,6 +2647,19 @@ def q_eval_kappa(spark, sf_dir):
     return kappa(_langid_cm(spark, sf_dir))
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling log-weights (operators/dsir.py, Xie et
+    al. 2023): hashed word-bigram features (md5 buckets, 1024-bounded
+    distributions), target = src0/src1 documents vs the raw corpus;
+    per-doc log-weight = integer gram counts x round(ln-ratio, 5) summed
+    as DECIMAL — exact cross-engine."""
+    from document_extraction_spark.operators.dsir import dsir_log_weights
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("source").isin("src0", "src1"))
+    return dsir_log_weights(d, target).orderBy("doc_id")
+
+
 def q_changepoint(spark, sf_dir):
     """Integer CUSUM change-point scan (operators/changepoint.py): per
     event type, daily counts -> the day where the scaled cumulative
@@ -2879,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eval_langid": q_eval_langid,                    # new r5: PRF eval
         "q_eval_kappa": q_eval_kappa,                      # new r5: Cohen kappa
         "q_changepoint": q_changepoint,                    # new r5: CUSUM scan
+        "q_dsir_weights": q_dsir_weights,                  # new r6: DSIR
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_ann_topk": q_ann_topk,                    # rotated out r6 (green r1+r2+r5)
@@ -3713,6 +3727,42 @@ def _oracle_sql_literals() -> dict[str, str]:
                               / (1.0 - gp / (n_total::DOUBLE * n_total))
                          ELSE 1.0 END, 6) AS kappa
             FROM m
+        """,
+        "q_dsir_weights": f"""
+            WITH raw AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id, source,
+                     unnest({TS.sql_word_ngrams('tk', 2)}) AS g
+              FROM raw),
+            bg AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('dsir:' || g), 1, 13))::BIGINT % 1024
+                       AS bucket
+              FROM grams),
+            ct AS (SELECT bucket, count(*)::BIGINT AS c FROM bg
+                   WHERE source IN ('src0', 'src1') GROUP BY 1),
+            cr AS (SELECT bucket, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+            tt AS (SELECT sum(c)::BIGINT AS t FROM ct),
+            tr AS (SELECT sum(c)::BIGINT AS t FROM cr),
+            ratios AS (
+              SELECT cr.bucket,
+                     round(ln((coalesce(ct.c, 0) + 1)::DOUBLE
+                              / (tt.t + 1024))
+                           - ln((cr.c + 1)::DOUBLE / (tr.t + 1024)),
+                           5)::DECIMAL(18,5) AS log_ratio
+              FROM cr LEFT JOIN ct USING (bucket)
+              CROSS JOIN tt CROSS JOIN tr),
+            db AS (
+              SELECT doc_id, bucket, count(*)::BIGINT AS k
+              FROM bg GROUP BY 1, 2)
+            SELECT db.doc_id, sum(db.k)::BIGINT AS n_grams,
+                   sum(db.k * r.log_ratio)::DOUBLE AS log_weight
+            FROM db JOIN ratios r USING (bucket)
+            GROUP BY 1 ORDER BY db.doc_id
         """,
         "q_changepoint": """
             WITH buckets AS (
