@@ -2647,6 +2647,33 @@ def q_eval_kappa(spark, sf_dir):
     return kappa(_langid_cm(spark, sf_dir))
 
 
+def q_conv_paths(spark, sf_dir):
+    """Branched-conversation root-to-leaf paths (operators/convtree.py):
+    a deterministic turn TREE per conversation (every 3rd turn forks from
+    its grandparent — retries/edits in agent transcripts), linearized by
+    pointer doubling in ceil(log2(depth)) shuffles. The DuckDB twin walks
+    leaf->root with a recursive CTE; every path string hash-verifies."""
+    from document_extraction_spark.operators.convtree import conv_root_paths
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("conv_id").orderBy("node_id")
+    t = (
+        d.select(
+            (F.col("doc_id") % 40).alias("conv_id"),
+            F.col("doc_id").alias("node_id"),
+        )
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn(
+            "parent_id",
+            F.when(F.col("seq") == 1, F.lit(None).cast("long"))
+            .when(F.col("seq") % 3 == 0, F.lag("node_id", 2).over(w))
+            .otherwise(F.lag("node_id", 1).over(w)),
+        )
+        .drop("seq")
+    )
+    return conv_root_paths(t).orderBy("conv_id", "leaf_id")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance-resampling log-weights (operators/dsir.py, Xie et
     al. 2023): hashed word-bigram features (md5 buckets, 1024-bounded
@@ -2893,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eval_kappa": q_eval_kappa,                      # new r5: Cohen kappa
         "q_changepoint": q_changepoint,                    # new r5: CUSUM scan
         "q_dsir_weights": q_dsir_weights,                  # new r6: DSIR
+        "q_conv_paths": q_conv_paths,                      # new r6: tree paths
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_ann_topk": q_ann_topk,                    # rotated out r6 (green r1+r2+r5)
@@ -3727,6 +3755,33 @@ def _oracle_sql_literals() -> dict[str, str]:
                               / (1.0 - gp / (n_total::DOUBLE * n_total))
                          ELSE 1.0 END, 6) AS kappa
             FROM m
+        """,
+        "q_conv_paths": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id % 40 AS conv_id, doc_id AS node_id,
+                     row_number() OVER w AS seq,
+                     lag(doc_id, 1) OVER w AS l1,
+                     lag(doc_id, 2) OVER w AS l2
+              FROM documents
+              WINDOW w AS (PARTITION BY doc_id % 40 ORDER BY doc_id)),
+            turns AS (
+              SELECT conv_id, node_id,
+                     CASE WHEN seq = 1 THEN NULL
+                          WHEN seq % 3 = 0 THEN l2 ELSE l1 END AS parent_id
+              FROM base),
+            walk AS (
+              SELECT tt.conv_id, tt.node_id AS leaf_id, tt.parent_id AS p,
+                     tt.node_id::VARCHAR AS path, 1::BIGINT AS depth
+              FROM turns tt WHERE NOT EXISTS (
+                SELECT 1 FROM turns c
+                WHERE c.conv_id = tt.conv_id AND c.parent_id = tt.node_id)
+              UNION ALL
+              SELECT w.conv_id, w.leaf_id, t.parent_id,
+                     t.node_id::VARCHAR || '>' || w.path, w.depth + 1
+              FROM walk w JOIN turns t
+                ON t.conv_id = w.conv_id AND t.node_id = w.p)
+            SELECT conv_id, leaf_id, depth, path
+            FROM walk WHERE p IS NULL ORDER BY conv_id, leaf_id
         """,
         "q_dsir_weights": f"""
             WITH raw AS (
