@@ -2647,6 +2647,19 @@ def q_eval_kappa(spark, sf_dir):
     return kappa(_langid_cm(spark, sf_dir))
 
 
+def q_cluster_rep(spark, sf_dir):
+    """Near-dup cluster representative election (operators/dedup.py
+    cluster_representatives): the dedup pipeline's KEEP verdict — per
+    cluster the argmax-quality (min-id tiebreak) doc is kept, every other
+    corpus doc is its own singleton; one window shuffle keyed cluster_id.
+    The oracle rebuilds clusters with the recursive-CTE pair graph and
+    replays the same DECIMAL-exact election."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_pipeline(d, threshold=0.2)
+    clusters = DD.dedup_clusters(pairs)
+    return DD.cluster_representatives(d, clusters).orderBy("doc_id")
+
+
 def q_conv_paths(spark, sf_dir):
     """Branched-conversation root-to-leaf paths (operators/convtree.py):
     a deterministic turn TREE per conversation (every 3rd turn forks from
@@ -2921,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_changepoint": q_changepoint,                    # new r5: CUSUM scan
         "q_dsir_weights": q_dsir_weights,                  # new r6: DSIR
         "q_conv_paths": q_conv_paths,                      # new r6: tree paths
+        "q_cluster_rep": q_cluster_rep,                    # new r6: keep verdict
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_ann_topk": q_ann_topk,                    # rotated out r6 (green r1+r2+r5)
@@ -3755,6 +3769,46 @@ def _oracle_sql_literals() -> dict[str, str]:
                               / (1.0 - gp / (n_total::DOUBLE * n_total))
                          ELSE 1.0 END, 6) AS kappa
             FROM m
+        """,
+        "q_cluster_rep": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(tk) >= 3
+                     THEN [array_to_string(list_slice(tk, i, i+2), ' ') for i in generate_series(1, len(tk)-2)]
+                     ELSE [array_to_string(tk, ' ')] END)) AS shingle
+              FROM toks
+            ), sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 4) >= 0.2),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT u AS node, u AS r FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+            ),
+            cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+            q AS (SELECT doc_id,
+                         {TS.sql_quality_score("coalesce(text, '')")}::DECIMAL(18,4) AS qv
+                  FROM documents),
+            lab AS (
+              SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id, q.qv
+              FROM q LEFT JOIN cl USING (doc_id))
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members,
+                   (row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY qv DESC, doc_id) = 1) AS is_rep
+            FROM lab ORDER BY doc_id
         """,
         "q_conv_paths": """
             WITH RECURSIVE base AS (

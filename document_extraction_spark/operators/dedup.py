@@ -33,7 +33,7 @@ same plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from document_extraction_spark.functions.textstats import fingerprint
@@ -517,3 +517,55 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         )
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup pipeline's KEEP decision: per near-dup cluster, elect one
+    representative — argmax quality, smallest id on ties — and emit the
+    per-document verdict ``(doc_id, cluster_id, n_members, is_rep)``.
+
+    ``clusters`` is the (doc_id, cluster_id) output of
+    :func:`dedup_clusters` / :func:`dedup_clusters_star`, which only covers
+    documents that appear in a near-dup pair; every other document is its
+    own singleton cluster (cluster_id = doc_id, is_rep true), so the
+    verdict table covers the WHOLE corpus and downstream filters are one
+    ``where(is_rep)``.
+
+    Distributed shape: one broadcast-able left join docs -> clusters (the
+    cluster table is |paired docs|, a small fraction of the corpus), then
+    ONE window shuffle keyed cluster_id carrying (id, quality) only — the
+    payload never shuffles.  Quality is textstats.quality_score — a
+    round(·, 4) DECIMAL-stable heuristic with an exact DuckDB twin, so
+    election order (quality DESC, doc_id) is engine-exact and the verdict
+    hash-verifies.
+    """
+    from document_extraction_spark.functions import textstats as TS
+
+    q = docs.select(
+        F.col(id_col),
+        TS.quality_score(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("decimal(18,4)")
+        .alias("_q"),
+    )
+    labeled = q.join(
+        clusters.select(id_col, "cluster_id"), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        "_q",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col(id_col)
+    )
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w_all).alias("n_members"),
+        (F.row_number().over(w) == 1).alias("is_rep"),
+    )

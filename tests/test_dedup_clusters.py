@@ -81,3 +81,65 @@ def test_star_mixed_topologies(spark):
     # parity with propagation on the same (shallow) graph
     prop = {r["doc_id"]: r["cluster_id"] for r in DD.dedup_clusters(df).collect()}
     assert prop == got
+
+
+def test_cluster_representatives_elects_best_and_covers_all(spark):
+    """KEEP verdict (r6): per cluster the highest-quality doc (min id on
+    ties) is the representative; unpaired docs are their own singleton."""
+    from pyspark.sql import functions as F
+
+    from document_extraction_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # cluster of 0/1/2: 1 has the richest text -> rep
+            (0, "short words here"),
+            (1, "a properly long sentence with many reasonable words, "
+                "enough tokens to saturate the length heuristic and win "
+                "the quality election over the short variants clearly, "
+                "because forty tokens are needed for full saturation of "
+                "the score used by the election."),
+            (2, "short words here too"),
+            # singleton
+            (3, "completely separate content"),
+            # null text: quality of '' (still covered, singleton)
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "doc_id long, cluster_id long"
+    )
+    out = {r["doc_id"]: r for r in
+           cluster_representatives(docs, clusters).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[1]["is_rep"] and not out[0]["is_rep"] and not out[2]["is_rep"]
+    assert all(out[i]["n_members"] == 3 for i in (0, 1, 2))
+    for i in (3, 4):
+        assert out[i]["is_rep"] and out[i]["cluster_id"] == i \
+            and out[i]["n_members"] == 1
+    # exactly one representative per cluster
+    reps = (cluster_representatives(docs, clusters)
+            .groupBy("cluster_id")
+            .agg(F.sum(F.col("is_rep").cast("int")).alias("n"))
+            .collect())
+    assert all(r["n"] == 1 for r in reps)
+
+
+def test_cluster_representatives_tie_breaks_min_id(spark):
+    from document_extraction_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "same text twin"), (9, "same text twin")],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(7, 7), (9, 7)], "doc_id long, cluster_id long"
+    )
+    out = {r["doc_id"]: r["is_rep"]
+           for r in cluster_representatives(docs, clusters).collect()}
+    assert out == {7: True, 9: False}
