@@ -2647,6 +2647,16 @@ def q_eval_kappa(spark, sf_dir):
     return kappa(_langid_cm(spark, sf_dir))
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Lexical-diversity QC (operators/lexical.py): per-doc type-token
+    ratio, hapax fraction, mean token length — integer counts through one
+    (doc_id, token) shuffle with map-side combine, ratios rounded at the
+    edge."""
+    from document_extraction_spark.operators.lexical import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_cluster_rep(spark, sf_dir):
     """Near-dup cluster representative election (operators/dedup.py
     cluster_representatives): the dedup pipeline's KEEP verdict — per
@@ -2935,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,                  # new r6: DSIR
         "q_conv_paths": q_conv_paths,                      # new r6: tree paths
         "q_cluster_rep": q_cluster_rep,                    # new r6: keep verdict
+        "q_lexical_diversity": q_lexical_diversity,        # new r6: TTR QC
         # -- (c) rotation of green entries, one-plus per operator category
         # ------------- driver 50-entry window ends here (position 50) --------
         "q_ann_topk": q_ann_topk,                    # rotated out r6 (green r1+r2+r5)
@@ -3769,6 +3780,26 @@ def _oracle_sql_literals() -> dict[str, str]:
                               / (1.0 - gp / (n_total::DOUBLE * n_total))
                          ELSE 1.0 END, 6) AS kappa
             FROM m
+        """,
+        "q_lexical_diversity": """
+            WITH tok AS (
+              SELECT doc_id, t.tok, count(*)::BIGINT AS k
+              FROM documents,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS t(tok)
+              WHERE text IS NOT NULL
+              GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS n_types,
+                     sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+                     sum(length(tok) * k)::BIGINT AS chars
+              FROM tok GROUP BY 1)
+            SELECT doc_id, n_tokens, n_types, n_hapax,
+                   round(n_types::DOUBLE / n_tokens, 4) AS ttr,
+                   round(n_hapax::DOUBLE / n_types, 4) AS hapax_frac,
+                   round(chars::DOUBLE / n_tokens, 4) AS mean_tok_len
+            FROM agg ORDER BY doc_id
         """,
         "q_cluster_rep": f"""
             WITH RECURSIVE toks AS (

@@ -24,9 +24,7 @@ def _window_keys() -> list[str]:
 
 
 def test_window_is_exactly_50():
-    # ==50 at round end; mid-round the window may briefly hold fewer while
-    # slots freed by rotation await the round's newly-authored entries
-    assert 45 <= len(_window_keys()) <= 50
+    assert len(_window_keys()) == 50
 
 
 def test_no_duplicate_registry_keys():
