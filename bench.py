@@ -144,6 +144,13 @@ def main() -> int:
         "q_quality_calibrate",      # round-5: per-source quantile calibration
         "q_kmv_distinct",           # round-5: bottom-k sketch build+merge
         "q_crawl_budget",           # round-5: Hamilton budget apportionment
+        # round-6 operator generation
+        "q_dsir_weights",           # round-6: DSIR importance weights
+        "q_conv_paths",             # round-6: pointer-doubling tree paths
+        "q_cluster_rep",            # round-6: dedup keep verdict (composed tail)
+        "q_lexical_diversity",      # round-6: TTR / hapax QC
+        "x_mutual_top1_srp",        # round-6: bucketed bitext mining scale path
+        # (q_media_decode above now exercises the PNG leg too)
     ]
 
     def best_of(fn, runs: int = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))) -> float:
