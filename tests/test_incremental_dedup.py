@@ -91,13 +91,14 @@ def test_bp_derived_from_hash_not_fixed_offset(spark):
     from document_extraction_spark.operators.incremental_dedup import (
         _band_buckets,
     )
-    from document_extraction_spark.operators.dedup import minhash_signatures
 
-    rows = [(i, f"document number {i} with shared words and token {i % 7} "
-                f"plus unique tail {i * 31}") for i in range(60)]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
-    # k=24, bands=12 -> band indices 0..11 include two-digit bands
-    sig = minhash_signatures(df, "doc_id", "text", 24)
+    # synthetic 24-component signatures (bands=12 -> two-digit band indices);
+    # _band_buckets only needs h0..h23 columns, not real minhashes
+    rows = [tuple([i] + [f"{(i * 131 + j * 17) % 997:08x}" for j in range(24)])
+            for i in range(60)]
+    sig = spark.createDataFrame(
+        rows, ["doc_id"] + [f"h{j}" for j in range(24)]
+    )
     b = _band_buckets(sig, k=24, bands=12)
     got = b.select(
         "bucket", "bp",
