@@ -72,8 +72,24 @@ def dsir_log_weights(
     means more target-like.  Exact-decimal arithmetic end to end (see
     module docstring) so the result hash-verifies cross-engine.
     """
+    # ONE gram explosion over the raw corpus: the (doc, bucket) count table
+    # backs BOTH the raw feature distribution (re-aggregate by bucket — the
+    # shuffle input is |docs| x distinct-buckets-per-doc, never raw grams
+    # again) and the per-doc scoring join.  localCheckpoint materializes it
+    # so the two consumers don't each re-run the scan+explode (the
+    # operators/dedup.py candidates recipe; plan audit r6: 12 -> 8
+    # exchanges, raw text read once).
+    toks_raw = TS.tokens(F.lower(F.col(text_col)))
+    doc_buckets = (
+        raw.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(TS.word_ngrams(toks_raw, 2)).alias("g"))
+        .select(id_col, _bucket(F.col("g")).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
     ct = _bucket_counts(target, text_col)
-    cr = _bucket_counts(raw, text_col)
+    cr = doc_buckets.groupBy("bucket").agg(F.sum("k").alias("cnt"))
     tt = ct.agg(F.sum("cnt").alias("tot_t"))
     tr = cr.agg(F.sum("cnt").alias("tot_r"))
     # full outer: buckets unseen in one corpus still get their smoothed mass
@@ -98,14 +114,6 @@ def dsir_log_weights(
             .cast("decimal(18,5)")
             .alias("log_ratio"),
         )
-    )
-    toks = TS.tokens(F.lower(F.col(text_col)))
-    doc_buckets = (
-        raw.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.explode(TS.word_ngrams(toks, 2)).alias("g"))
-        .select(id_col, _bucket(F.col("g")).alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("k"))
     )
     return (
         doc_buckets.join(F.broadcast(ratios), "bucket")
