@@ -2579,11 +2579,15 @@ def x_mutual_top1_srp(spark, sf_dir):
     filter. Rows-only here (the numpy hyperplanes aren't reproducible in
     DuckDB SQL); test_mining_calibrate pins the output EQUAL to the
     oracle-verified exact path q_mutual_top1 at one-bit-per-band on the
-    sf0.001 embeddings.  THIS entry runs the SCALE setting — 2 bands x
-    8 sign bits (256 buckets/band), the pruning regime the operator exists
-    for: candidate volume ~|L||R|/128 instead of the one-bit-per-band
-    near-cross-product used only for the equality pin (53 s vs 1.5 s at
-    sf0.1, BENCH_r06)."""
+    sf0.001 embeddings.  THIS entry runs the SCALE setting — 4 bands x
+    4 sign bits, the pruning regime the operator exists for (the one-bit-
+    per-band equality setting is a near-cross-product: 53 s vs ~6 s at
+    sf0.1, BENCH_r06).  Band-width economics measured in
+    BENCH/MINING_SRP.json: on these RANDOM synthetic embeddings the true
+    top-1 sits at cos ~0.4 (sign-bit agreement ~0.63) so 4x4-bit recall is
+    0.44; on a real parallel corpus at cos >= 0.9 (agreement ~0.9) the
+    same setting is ~0.99 — recall is a property of pair cosine, the plan
+    shape is what this entry pins."""
     from document_extraction_spark.operators.mining import mutual_top1_srp
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2591,7 +2595,7 @@ def x_mutual_top1_srp(spark, sf_dir):
         e.where(F.col("vec_id") % 2 == 0),
         e.where(F.col("vec_id") % 2 == 1),
         n_planes=16,
-        bands=2,
+        bands=4,
         dim=64,
     ).orderBy("left_id")
 
