@@ -57,3 +57,40 @@ def test_cycle_raises(spark):
     rows = [(0, 1, 2), (0, 2, 1), (0, 3, 2)]
     with pytest.raises(RuntimeError, match="converge"):
         conv_root_paths(spark.createDataFrame(rows, SCHEMA), max_rounds=5)
+
+
+def test_random_trees_match_python_reference(spark):
+    """Property: on arbitrary deterministic trees, the distributed pointer-
+    doubling result equals a plain recursive walk computed driver-side."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for conv in range(6):
+        n = rng.randint(1, 40)
+        for i in range(n):
+            nid = conv * 1000 + i
+            parent = None if i == 0 else conv * 1000 + rng.randrange(i)
+            rows.append((conv, nid, parent))
+    got = _paths(conv_root_paths(spark.createDataFrame(rows, SCHEMA)))
+
+    by_conv = {}
+    parents = {}
+    children = set()
+    for conv, nid, parent in rows:
+        by_conv.setdefault(conv, []).append(nid)
+        parents[(conv, nid)] = parent
+        if parent is not None:
+            children.add((conv, parent))
+    want = {}
+    for conv, nid, parent in rows:
+        if (conv, nid) in children:
+            continue  # not a leaf
+        chain = [nid]
+        cur = parent
+        while cur is not None:
+            chain.append(cur)
+            cur = parents[(conv, cur)]
+        chain.reverse()
+        want[(conv, nid)] = (len(chain), ">".join(map(str, chain)))
+    assert got == want
