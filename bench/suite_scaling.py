@@ -35,7 +35,10 @@ def run_suite(cpus: int, sf_dir: str) -> dict:
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")]
     print(f"[suite_scaling] {' '.join(cmd)}", file=sys.stderr)
     out = subprocess.run(
-        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=3600
+        cmd, cwd=REPO, env=env, capture_output=True, text=True,
+        # 10x corpora at 2 pinned CPUs with the full r6 suite exceed an
+        # hour; the timeout is a hang guard, not a budget
+        timeout=int(os.environ.get("SPARK_GRAFT_SUITE_TIMEOUT", "7200")),
     )
     if out.returncode != 0:
         print(out.stderr[-2000:], file=sys.stderr)

@@ -82,3 +82,22 @@ def test_twin_agreement(spark):
     assert len(sdf) == len(ddf)
     for col in sdf.columns:
         assert list(sdf[col]) == list(ddf[col]), col
+
+
+def test_hash_array_not_reevaluated_in_selection(spark):
+    """Plan pin for the r6 lesson: the md5 gram-hash transform must be
+    materialized BEHIND the localCheckpoint barrier — if it leaks into the
+    window-selection projection, Catalyst inlines it into every lambda
+    reference (minutes per doc at a 2000-char prefix).  The executed plan
+    downstream of the barrier must contain no md5 call."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz" * 4)], "doc_id long, text string"
+    )
+    plan = (
+        winnow_fingerprints(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the selection runs over "Scan ExistingRDD" (the checkpoint barrier);
+    # md5 must not appear anywhere in this downstream plan
+    assert "ExistingRDD" in plan
+    assert "md5" not in plan
