@@ -114,6 +114,13 @@ def mutual_top1_srp(
     (one bit per band) a pair misses every band only if ALL n sign bits
     disagree — on real corpora the candidate set converges to all
     informative pairs and the output equals the exact path (pytest-pinned).
+
+    Sizing at scale: expected candidate volume is ~bands * |L| * |R| /
+    2^(n_planes/bands) for near-uniform buckets, i.e. QUADRATIC in corpus
+    size at fixed planes.  Grow per-band bits with the corpus
+    (bits ~ log2(|corpus|) keeps per-bucket occupancy constant), exactly
+    like LSH band tuning in dedup.py; BENCH/MINING_SRP.json pins the
+    recall/cost trade per setting on the sf0.1 embeddings.
     """
     if n_planes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
