@@ -30,12 +30,19 @@ this), so R rounds cost R bounded shuffles over vocabulary-sized data.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from document_extraction_spark.functions.textstats import tokens
 
 ROUNDS = 6
+
+# Python twin of the Java \s class behind textstats.tokens (Python re's \s
+# would additionally match Unicode whitespace — see operators/dedup.py)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _wrap_chars(col):
@@ -89,7 +96,11 @@ def bpe_train(docs: DataFrame, rounds: int = ROUNDS,
     ('<e><r>'), and the word table carrying the final segmentation."""
     wt = docs
     if set(wt.columns) != {"w", "c", "s"}:
-        wt = word_table(docs, text_col)
+        # r7: materialize the word table ONCE before the round loop — round
+        # 1's best-pair collect and the round-1 lazy checkpoint each re-ran
+        # the full corpus token explode + groupBy without this (guide §5:
+        # localCheckpoint to cut lineage on a reused intermediate)
+        wt = word_table(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, int]] = []
     for r in range(1, rounds + 1):
         best = (
@@ -135,7 +146,91 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[int, str, int]],
     Returns (id, n_words, n_symbols, enc_hash): symbol counts are the
     post-merge token counts a budget planner needs; the md5 of the full
     encoded segmentation pins byte-exact parity without shipping the
-    (large) encoded text through the comparator."""
+    (large) encoded text through the comparator.
+
+    r7 Arrow kernel (guide §4.2): the expression form evaluated the
+    char-wrap HOF (one interpreted lambda per CHARACTER) and the whole
+    replace chain up to three times per row (n_symbols needs length(enc)
+    twice, enc_hash once; HOF projections fall out of whole-stage codegen
+    and its subexpression elimination).  The kernel runs the identical
+    string pipeline once per doc in Python — str.replace is the same
+    leftmost non-overlapping scan as SQL replace, so the segmentation and
+    its md5 are byte-identical (pinned vs :func:`bpe_encode_expr` in
+    tests/test_dedup_kernels.py, and by the q_bpe_encode oracle)."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(docs.sparkSession)
+    import re as _re
+
+    id_type = docs.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("n_words", T.LongType()),
+        T.StructField("n_symbols", T.LongType()),
+        T.StructField("enc_hash", T.StringType()),
+    ])
+    reps = [
+        (pair, "<" + pair.replace("<", "").replace(">", "") + ">")
+        for _rank, pair, _n in merges
+    ]
+    alpha = _re.compile(r"[a-z]+")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        word_memo: dict[str, str] = {}
+
+        def encode_word(w: str) -> str:
+            e = word_memo.get(w)
+            if e is None:
+                e = "".join("<" + ch + ">" for ch in w)
+                if len(word_memo) >= 1_000_000:
+                    word_memo.clear()
+                word_memo[w] = e
+            return e
+
+        for pdf in batches:
+            ids: list = []
+            n_words: list[int] = []
+            n_syms: list[int] = []
+            hashes: list[str] = []
+            for doc_id, text in zip(pdf["_id"], pdf["_txt"]):
+                if text is None:
+                    continue
+                toks = [
+                    t
+                    for t in _JAVA_WS.split(text.lower())
+                    if t and alpha.fullmatch(t)
+                ]
+                enc = " ".join(encode_word(w) for w in toks)
+                for pair, merged in reps:
+                    enc = enc.replace(pair, merged)
+                ids.append(doc_id)
+                n_words.append(len(toks))
+                n_syms.append(enc.count("<"))
+                hashes.append(hashlib.md5(enc.encode("utf-8")).hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_words": n_words,
+                        "n_symbols": n_syms,
+                        "enc_hash": hashes,
+                    }
+                )
+
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    ).mapInPandas(kernel, schema=schema)
+
+
+def bpe_encode_expr(docs: DataFrame, merges: list[tuple[int, str, int]],
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-Column expression twin of :func:`bpe_encode` (pre-r7 path) —
+    the tree the DuckDB oracle mirrors; kernel equality pinned in
+    tests/test_dedup_kernels.py."""
     tk = F.filter(
         tokens(F.lower(F.col(text_col))), lambda w: w.rlike("^[a-z]+$")
     )

@@ -28,13 +28,67 @@ Plan shape, and why it holds at 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from document_extraction_spark.functions.textstats import tokens, word_ngrams
 
+# Python twin of the Java \s class behind textstats.tokens (Python re's \s
+# would additionally match Unicode whitespace — see operators/dedup.py)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
 
 def _doc_grams(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, gram): each document's DISTINCT lowercase word n-grams.
+
+    r7 Arrow kernel (guide §4.2): the tokens -> word_ngrams ->
+    array_distinct -> explode chain ran as interpreted HOF expressions per
+    document; the kernel builds the same distinct gram set with Python
+    string ops.  Emits the identical row SET (NULL text and <n-token docs
+    emit nothing, exactly like exploding the HOF's empty array); every
+    consumer (distinct, semi-join, count) is row-order-free.  HOF twin kept
+    below for the kernel-equality differential test."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(df.sparkSession)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("gram", T.StringType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["_id"], pdf["_txt"]):
+                if text is None:
+                    continue
+                toks = [t for t in _JAVA_WS.split(text.lower()) if t]
+                if len(toks) < n:
+                    continue
+                gs = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                ids.extend([doc_id] * len(gs))
+                grams.extend(gs)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    ).mapInPandas(kernel, schema=schema)
+
+
+def _doc_grams_hof(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """Pure-Column HOF twin of :func:`_doc_grams` (pre-r7 path) — the
+    expression tree the DuckDB oracle mirrors; kernel equality pinned in
+    tests/test_dedup_kernels.py."""
     toks = tokens(F.lower(F.col(text_col)))
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -33,8 +33,11 @@ same plan shape.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from document_extraction_spark.functions.textstats import fingerprint
 
@@ -42,6 +45,36 @@ SHINGLE_WIDTH = 3
 MINHASH_K = 8
 LSH_BANDS = 4  # rows per band = MINHASH_K // LSH_BANDS = 2
 SIMHASH_BITS = 32
+
+# Python twin of the Java regex \s used by F.split(col, r"\s+"): Java \s is
+# the ASCII class [ \t\n\x0B\f\r] (Python re's \s would additionally match
+# Unicode whitespace — a silent divergence on e.g. NBSP).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+# Hash-cache bound for the per-task shingle->md5-window memo; cleared when
+# exceeded so a boilerplate-free 100 TB task cannot grow it unboundedly.
+_MD5_CACHE_CAP = 2_000_000
+
+
+def _py_shingles(text: str | None, width: int) -> list[str] | None:
+    """Python twin of :func:`shingle_array_df`'s per-document shingle set:
+    None for rows the Spark path filters (NULL / trim-empty text),
+    otherwise the distinct word-``width``-grams in first-occurrence order.
+    Twin semantics, piece by piece: SQL trim strips ' ' (0x20) only;
+    tokenization splits the LOWERED trimmed text on the Java-\\s class and
+    drops empty tokens; fewer than ``width`` tokens yield the single
+    whole-doc gram (array_join of the token list — '' when no tokens
+    survive, matching array_join over an empty array)."""
+    if text is None:
+        return None
+    stripped = text.strip(" ")
+    if not stripped:
+        return None
+    toks = [t for t in _JAVA_WS.split(stripped.lower()) if t]
+    if len(toks) >= width:
+        return list(dict.fromkeys(
+            " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
+        ))
+    return [" ".join(toks)]
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -90,7 +123,50 @@ def shingle_array_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              width: int = SHINGLE_WIDTH) -> DataFrame:
     """Exploded (doc_id, shingle) — for the exact-Jaccard verifier, which
-    genuinely needs the shingle join."""
+    genuinely needs the shingle join.
+
+    Arrow kernel (guide §4.2): the per-doc distinct gram set is built in
+    Python string ops inside mapInPandas instead of the interpreted
+    sequence->transform->slice->array_join HOF chain (same ~100-200x
+    interpreted-expression tax as the MinHash kernel below measured in
+    BENCH/DECON_SRP.json).  Emits the same (doc_id, shingle) row SET —
+    every consumer (sizes groupBy, intersection joins, distinct) is
+    row-order-free; set equality vs the HOF path is pinned in
+    tests/test_dedup_kernels.py."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(df.sparkSession)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("shingle", T.StringType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            grams: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_txt"]):
+                sh = _py_shingles(text, width)
+                if sh is None:
+                    continue
+                ids.extend([doc_id] * len(sh))
+                grams.extend(sh)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "shingle": grams})
+
+    # only (id, text) cross the Python boundary (guide §4.1: select first)
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")
+    ).mapInPandas(kernel, schema=schema)
+
+
+def shingles_hof(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 width: int = SHINGLE_WIDTH) -> DataFrame:
+    """The pure-Column HOF twin of :func:`shingles` (pre-r7 path) — kept for
+    oracle plan parity and the kernel-equality differential tests."""
     return shingle_array_df(df, id_col, text_col, width).select(
         "doc_id", F.explode("sh").alias("shingle")
     )
@@ -98,12 +174,83 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
-    """k min-hashes per doc WITHOUT exploding shingles: two md5s per shingle
-    inside array higher-order functions, signature i = array_min over the
-    i-th 8-hex (32-bit) window. Lexicographic min of fixed-width hex ==
-    numeric min; everything stays a narrow per-row projection — zero shuffle
-    (the exploded variant shuffles |shingles| rows; at 10^12 turns that is
-    the difference between a map stage and a petabyte shuffle)."""
+    """k min-hashes per doc WITHOUT exploding shingles — still zero-shuffle
+    map-only, now as an Arrow kernel (VERDICT r5/r6 ask: the HOF chain ran
+    two interpreted md5s + eight array_min(transform(substring)) passes per
+    document outside whole-stage codegen; this computes the identical
+    signature with hashlib + a per-task shingle->window memo at native
+    speed).  Signature i = min over shingles of the i-th 8-hex (32-bit)
+    window of md5(shingle) / md5('x'||shingle); Python's str min on
+    fixed-width lowercase hex == UTF8String lexicographic min == numeric
+    min, so the output is BYTE-IDENTICAL to the HOF twin
+    (:func:`minhash_signatures_hof`, pinned in tests/test_dedup_kernels.py
+    and transitively by every oracle-verified LSH query)."""
+    assert k <= 8, "two md5s provide 8 8-hex windows"
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(df.sparkSession)
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type)]
+        + [T.StructField(f"h{i}", T.StringType()) for i in range(k)]
+    )
+
+    def kernel(batches):
+        import hashlib
+        import pandas as pd
+
+        memo: dict[str, tuple[str, ...]] = {}
+
+        def windows(g: str) -> tuple[str, ...]:
+            w = memo.get(g)
+            if w is None:
+                h1 = hashlib.md5(g.encode("utf-8")).hexdigest()
+                h2 = hashlib.md5(("x" + g).encode("utf-8")).hexdigest()
+                w = tuple(
+                    (h1 if i < 4 else h2)[8 * (i % 4) : 8 * (i % 4) + 8]
+                    for i in range(8)
+                )
+                if len(memo) >= _MD5_CACHE_CAP:
+                    memo.clear()
+                memo[g] = w
+            return w
+
+        for pdf in batches:
+            ids: list = []
+            mins: list[tuple[str, ...]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["_txt"]):
+                sh = _py_shingles(text, SHINGLE_WIDTH)
+                if sh is None:
+                    continue
+                it = iter(sh)
+                best = list(windows(next(it)))
+                for g in it:
+                    w = windows(g)
+                    for i in range(8):
+                        if w[i] < best[i]:
+                            best[i] = w[i]
+                ids.append(doc_id)
+                mins.append(tuple(best[:k]))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        **{f"h{i}": [m[i] for m in mins] for i in range(k)},
+                    }
+                )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")
+    ).mapInPandas(kernel, schema=schema)
+
+
+def minhash_signatures_hof(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """The pure-Column HOF twin of :func:`minhash_signatures` (pre-r7 path):
+    two md5s per shingle inside array higher-order functions, signature i =
+    array_min over the i-th 8-hex window.  Kept because its expression tree
+    is what the DuckDB oracle mirrors and as the differential pin for the
+    Arrow kernel."""
     assert k <= 8, "two md5s provide 8 8-hex windows"
     sh = shingle_array_df(df, id_col, text_col)
     hashed = sh.select(
@@ -241,11 +388,21 @@ def jaccard_verify_candidates(
         .distinct()
     )
     # only candidate docs' shingles survive: at 100 TB the semi-join prunes
-    # the shingle table to the (tiny) near-dup-suspect subset before any wide
-    # join happens; materialized once, referenced three times (sizes, a, b)
+    # the corpus to the (tiny) near-dup-suspect subset before any wide join
+    # happens; materialized once, referenced three times (sizes, a, b).
+    # r7: the semi-join now runs BEFORE the shingle kernel — the Arrow
+    # mapInPandas node is opaque to Catalyst (PushDownLeftSemiAntiJoin could
+    # push through the old HOF projection but cannot cross a Python node),
+    # so pruning first keeps non-candidate docs out of the kernel entirely.
     sh = (
-        shingles(df, id_col, text_col, width)
-        .join(docs, "doc_id", "left_semi")
+        shingles(
+            df.join(
+                docs.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            ),
+            id_col,
+            text_col,
+            width,
+        )
         .localCheckpoint(eager=False)
     )
     if max_shingle_df is not None:

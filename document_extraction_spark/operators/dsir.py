@@ -27,12 +27,20 @@ ADVICE r4.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from document_extraction_spark.functions import textstats as TS
 
 BUCKETS = 1024
+
+# Python twin of the Java \s class used by textstats.tokens (see
+# operators/dedup.py: Python re's \s would also match Unicode whitespace)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_BUCKET_CACHE_CAP = 2_000_000
 
 
 def _bucket(gram_col):
@@ -42,18 +50,68 @@ def _bucket(gram_col):
     return F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % BUCKETS
 
 
+def _py_bucket_counts(text: str | None, memo: dict) -> dict[int, int] | None:
+    """Python twin of explode(word_ngrams(tokens(lower(text)), 2)) ->
+    _bucket -> count: per-doc {bucket: count} dict, None when the Spark
+    path emits nothing for the row (NULL text; <2 tokens yields {}).
+    Buckets are md5('dsir:'+gram) hex[:13] as int mod BUCKETS — exact
+    integers, memoized per task (grams repeat heavily across docs)."""
+    import hashlib
+
+    if text is None:
+        return None
+    toks = [t for t in _JAVA_WS.split(text.lower()) if t]
+    counts: dict[int, int] = {}
+    for i in range(len(toks) - 1):
+        g = toks[i] + " " + toks[i + 1]
+        b = memo.get(g)
+        if b is None:
+            b = (
+                int(hashlib.md5(("dsir:" + g).encode("utf-8")).hexdigest()[:13], 16)
+                % BUCKETS
+            )
+            if len(memo) >= _BUCKET_CACHE_CAP:
+                memo.clear()
+            memo[g] = b
+        counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
 def _bucket_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(bucket, cnt): hashed word-bigram feature counts — key space bounded
-    by BUCKETS, so this table broadcasts at any corpus size."""
-    toks = TS.tokens(F.lower(F.col(text_col)))
-    grams = TS.word_ngrams(toks, 2)
-    return (
-        df.where(F.col(text_col).isNotNull())
-        .select(F.explode(grams).alias("g"))
-        .select(_bucket(F.col("g")).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("cnt"))
+    by BUCKETS, so this table broadcasts at any corpus size.  r7: the gram
+    explode + per-gram md5/conv ran as interpreted HOF expressions; the
+    Arrow kernel counts buckets per batch in Python (exact integers, same
+    md5) and ships only <= BUCKETS partial rows per batch into the final
+    groupBy (guide §4.2 + §2.3: aggregate before you shuffle)."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(df.sparkSession)
+    schema = T.StructType([
+        T.StructField("bucket", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        agg: dict[int, int] = {}
+        for pdf in batches:
+            for text in pdf["_txt"]:
+                c = _py_bucket_counts(text, memo)
+                if c:
+                    for b, k in c.items():
+                        agg[b] = agg.get(b, 0) + k
+        if agg:
+            yield pd.DataFrame(
+                {"bucket": list(agg.keys()), "cnt": list(agg.values())}
+            )
+
+    partial = df.select(F.col(text_col).alias("_txt")).mapInPandas(
+        kernel, schema=schema
     )
+    return partial.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def dsir_log_weights(
@@ -72,20 +130,48 @@ def dsir_log_weights(
     means more target-like.  Exact-decimal arithmetic end to end (see
     module docstring) so the result hash-verifies cross-engine.
     """
-    # ONE gram explosion over the raw corpus: the (doc, bucket) count table
-    # backs BOTH the raw feature distribution (re-aggregate by bucket — the
+    # ONE gram pass over the raw corpus: the (doc, bucket) count table backs
+    # BOTH the raw feature distribution (re-aggregate by bucket — the
     # shuffle input is |docs| x distinct-buckets-per-doc, never raw grams
     # again) and the per-doc scoring join.  localCheckpoint materializes it
-    # so the two consumers don't each re-run the scan+explode (the
-    # operators/dedup.py candidates recipe; plan audit r6: 12 -> 8
-    # exchanges, raw text read once).
-    toks_raw = TS.tokens(F.lower(F.col(text_col)))
+    # so the two consumers don't each re-run the scan (the operators/dedup.py
+    # candidates recipe; plan audit r6: 12 -> 8 exchanges, raw text read
+    # once).  r7: the explode + interpreted HOF gram/md5 chain became an
+    # Arrow kernel that emits the EXACT per-doc (bucket, k) counts directly
+    # — a whole document sits inside one Arrow batch, so the kernel output
+    # already IS the groupBy(doc, bucket) result and that shuffle (|grams|
+    # rows at sf1.0, petabytes at 100 TB) disappears outright (guide §2.3).
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(raw.sparkSession)
+    id_type = raw.schema[id_col].dataType
+    db_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("k", T.LongType()),
+    ])
+
+    def db_kernel(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in batches:
+            ids: list = []
+            bks: list[int] = []
+            ks: list[int] = []
+            for doc_id, text in zip(pdf["_id"], pdf["_txt"]):
+                c = _py_bucket_counts(text, memo)
+                if c:
+                    for b, k in c.items():
+                        ids.append(doc_id)
+                        bks.append(b)
+                        ks.append(k)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "bucket": bks, "k": ks})
+
     doc_buckets = (
-        raw.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.explode(TS.word_ngrams(toks_raw, 2)).alias("g"))
-        .select(id_col, _bucket(F.col("g")).alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("k"))
+        raw.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .mapInPandas(db_kernel, schema=db_schema)
         .localCheckpoint(eager=False)
     )
     ct = _bucket_counts(target, text_col)

@@ -31,11 +31,75 @@ the A-ES rounded rank key (ADVICE r4).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ALPHABET = 27  # a-z + space after normalization
 MAX_CHARS = 2000  # score the document prefix; bounds per-row work and skew
+
+_NON_AZ = re.compile("[^a-z ]")
+_MULTI_SPACE = re.compile(" +")
+
+
+def _py_norm(text: str | None, max_chars: int) -> str | None:
+    """Python twin of :func:`_normed`'s normalization chain: lowercase,
+    non-[a-z ] -> space, space runs collapsed, trimmed (SQL trim strips
+    ' ' only), capped at ``max_chars``; None for rows the Spark path
+    filters (NULL text / normalized length < 3)."""
+    if text is None:
+        return None
+    norm = _MULTI_SPACE.sub(" ", _NON_AZ.sub(" ", text.lower())).strip(" ")
+    norm = norm[:max_chars]
+    return norm if len(norm) >= 3 else None
+
+
+def _doc_trigram_counts(docs: DataFrame, text_col: str,
+                        max_chars: int) -> DataFrame:
+    """(doc_id, tg, k): exact per-document trigram counts in ONE pass — an
+    Arrow kernel running the normalization + trigram Counter in Python
+    (guide §4.2).  A document's row lives wholly inside one Arrow batch, so
+    the kernel output already IS the groupBy(doc_id, tg) result: the
+    |trigram-instances| explode (15M rows at sf1.0) and its shuffle never
+    exist.  Counts are exact integers, so every downstream aggregate
+    (corpus model re-derivation included) is unchanged."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(docs.sparkSession)
+    id_type = docs.schema["doc_id"].dataType
+    schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("tg", T.StringType()),
+        T.StructField("k", T.LongType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            tgs: list[str] = []
+            ks: list[int] = []
+            for doc_id, text in zip(pdf["_id"], pdf["_txt"]):
+                norm = _py_norm(text, max_chars)
+                if norm is None:
+                    continue
+                counts: dict[str, int] = {}
+                for i in range(len(norm) - 2):
+                    t = norm[i : i + 3]
+                    counts[t] = counts.get(t, 0) + 1
+                for t, k in counts.items():
+                    ids.append(doc_id)
+                    tgs.append(t)
+                    ks.append(k)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "tg": tgs, "k": ks})
+
+    return docs.select(
+        F.col("doc_id").alias("_id"), F.col(text_col).alias("_txt")
+    ).mapInPandas(kernel, schema=schema)
 
 
 def _normed(df: DataFrame, text_col: str, max_chars: int) -> DataFrame:
@@ -86,11 +150,21 @@ def lm_score(docs: DataFrame, text_col: str = "text",
     (lower = more predictable = more natural text), sum_p_micro the
     integer-exact scaled probability mass (higher = more predictable).
     """
-    c3, c2 = trigram_model(docs, text_col, max_chars)
-    dk = (
-        _trigrams(_normed(docs, text_col, max_chars))
-        .groupBy("doc_id", "tg")
-        .agg(F.count("*").alias("k"))
+    # r7 single-pass restructure (guide §1.2 step 1): the per-doc count
+    # table dk is computed ONCE by the Arrow kernel and materialized; the
+    # corpus model is RE-DERIVED from it (c3 = sum of k per trigram, c2 =
+    # sum of c3 per 2-char context — exactly the instance counts the
+    # separate trigram_model passes produced), so the normalize+trigram
+    # work that previously ran 3-4x (model c3, model c2, dk — with no CSE
+    # across DataFrame branches) now runs once.
+    dk = _doc_trigram_counts(docs, text_col, max_chars).localCheckpoint(
+        eager=False
+    )
+    c3 = dk.groupBy("tg").agg(F.sum("k").alias("c3"))
+    c2 = (
+        c3.select(F.substring("tg", 1, 2).alias("ctx"), "c3")
+        .groupBy("ctx")
+        .agg(F.sum("c3").alias("c2"))
     )
     terms = (
         dk.join(F.broadcast(c3), "tg")

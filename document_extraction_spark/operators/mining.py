@@ -36,6 +36,7 @@ from document_extraction_spark.operators.similarity import (
     _checked_dim,
     _hyperplanes,
     cosine,
+    cosine_arrow,
     srp_signature,
 )
 
@@ -151,18 +152,28 @@ def mutual_top1_srp(
             ).alias("bucket"),
         )
 
-    cand = (
+    # Score at the bucket-join OUTPUT, before any further exchange: the
+    # joined stream is consumed map-side by the Arrow cosine kernel
+    # (bit-exact to the HOF `cosine` — similarity.cosine_arrow), so the
+    # heavy vector payload crosses exactly ONE shuffle per side (the
+    # banded bucket exchange) and every later shuffle carries only
+    # (left_id, right_id, _raw) — 24 bytes/row instead of two vectors
+    # (guide §2.3/§8: decide on light rows, never re-shuffle payloads).
+    # A pair colliding in several bands is scored once per collision
+    # (identical double each time — same inputs, same kernel) and
+    # deduplicated on the NARROW frame; pre-kernel dedup would instead
+    # drag both vectors through the dropDuplicates exchange, which at
+    # sf1.0 is a ~25 GB shuffle for ~1.2x fewer kernel rows.
+    scored = (
         banded(left, "left_id", "lvec")
         .join(banded(right, "right_id", "rvec"), "bucket")
-        # one score per PAIR, not per colliding band
-        .dropDuplicates(["left_id", "right_id"])
-    )
-    scored = (
-        cand.select(
+        .select(
             "left_id",
             "right_id",
-            cosine(F.col("lvec"), F.col("rvec")).alias("_raw"),
+            cosine_arrow(F.col("lvec"), F.col("rvec")).alias("_raw"),
         )
+        # one row per PAIR, not per colliding band
+        .dropDuplicates(["left_id", "right_id"])
         .select(
             "left_id", "right_id", F.col("_raw"), F.round("_raw", 4).alias("cos")
         )

@@ -52,7 +52,15 @@ def robust_outliers(
     deviating row, the conventional MAD-filter behavior.
     """
     med = _lower_median(df, key, F.col(val), seq, "med")
-    dev = df.join(med, key).withColumn("adev", F.abs(F.col(val) - F.col("med")))
+    # `dev` feeds BOTH the MAD median and the final verdict join; Spark does
+    # not CSE across DataFrame branches, so without a lineage cut the scan +
+    # median window + join run twice (r7, guide §5 — the dedup.py
+    # candidates recipe)
+    dev = (
+        df.join(med, key)
+        .withColumn("adev", F.abs(F.col(val) - F.col("med")))
+        .localCheckpoint(eager=False)
+    )
     mad = _lower_median(dev, key, F.col("adev"), seq, "mad")
     return (
         dev.join(mad, key)

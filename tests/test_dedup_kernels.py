@@ -1,0 +1,136 @@
+"""r7 optimization round: the Arrow/numpy kernels that replaced interpreted
+HOF expression chains are pinned ROW-EQUAL to their pure-Column twins (the
+q_ann_topk two-impl recipe, VERDICT r6 ask #1).  Every pair runs over the
+sf0.001 tables plus adversarial edge rows (NULL text, trim-empty text,
+sub-width docs, Unicode whitespace where Java \\s and Python \\s diverge).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+EDGE_ROWS = [
+    (9001, None),
+    (9002, ""),
+    (9003, "   "),
+    (9004, "\t\n"),  # Java trim keeps, \s+ tokenizes to nothing
+    (9005, "one"),
+    (9006, "one two"),
+    (9007, "The quick brown fox"),  # NBSP: NOT Java \s
+    (9008, "a  b\tc\nd\x0be\ff\rg"),  # every Java \s char
+    (9009, "UPPER lower MiXeD case words here"),
+    (9010, "dup dup dup dup dup dup"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, testdata_dir):
+    base = spark.read.parquet(f"{testdata_dir}/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(EDGE_ROWS, "doc_id long, text string")
+    return base.unionByName(edge)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_minhash_kernel_equals_hof(docs):
+    from document_extraction_spark.operators import dedup as DD
+
+    assert _rows(DD.minhash_signatures(docs)) == _rows(
+        DD.minhash_signatures_hof(docs)
+    )
+
+
+def test_shingles_kernel_equals_hof(docs):
+    from document_extraction_spark.operators import dedup as DD
+
+    assert _rows(DD.shingles(docs)) == _rows(DD.shingles_hof(docs))
+
+
+def test_doc_grams_kernel_equals_hof(docs):
+    from document_extraction_spark.operators import decontaminate as DC
+
+    for n in (2, 3):
+        assert _rows(DC._doc_grams(docs, n, "doc_id", "text")) == _rows(
+            DC._doc_grams_hof(docs, n, "doc_id", "text")
+        )
+
+
+def test_bpe_encode_kernel_equals_expr(docs):
+    from document_extraction_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_expr,
+        bpe_train,
+    )
+
+    merges, _ = bpe_train(docs, rounds=4)
+    assert merges
+    assert _rows(bpe_encode(docs, merges)) == _rows(bpe_encode_expr(docs, merges))
+
+
+def test_cosine_arrow_bit_exact(spark, testdata_dir):
+    """cosine_arrow must match the HOF cosine BIT-FOR-BIT (not just to
+    rounding): the mining windows rank on the raw double."""
+    from document_extraction_spark.operators.similarity import cosine, cosine_arrow
+
+    emb = spark.read.parquet(f"{testdata_dir}/sf0.001/embeddings.parquet")
+    pairs = (
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .join(
+            emb.select(
+                (F.col("vec_id") + 1).alias("ib"), F.col("embedding").alias("vb")
+            ),
+            F.col("ia") == F.col("ib"),
+        )
+    )
+    got = pairs.select(
+        "ia",
+        cosine(F.col("va"), F.col("vb")).alias("hof"),
+        cosine_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+    ).collect()
+    assert got
+    for r in got:
+        assert r["hof"] == r["arrow"], (r["ia"], r["hof"], r["arrow"])
+
+
+def test_dsir_kernel_counts_equal_hof(docs):
+    """The per-doc bucket-count kernel vs the original explode+HOF chain."""
+    from document_extraction_spark.operators import dsir as DS
+    from document_extraction_spark.functions import textstats as TS
+
+    toks = TS.tokens(F.lower(F.col("text")))
+    hof = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.col("doc_id"), F.explode(TS.word_ngrams(toks, 2)).alias("g"))
+        .select("doc_id", DS._bucket(F.col("g")).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("k"))
+    )
+    # reuse the production kernel through dsir_log_weights' building block:
+    # score docs against themselves and compare the doc_buckets feed by
+    # reconstructing it via the module-level helper
+    memo: dict = {}
+    expected = {}
+    for row in docs.collect():
+        c = DS._py_bucket_counts(row["text"], memo)
+        if c:
+            for b, k in c.items():
+                expected[(row["doc_id"], b)] = k
+    got = {(r["doc_id"], r["bucket"]): r["k"] for r in hof.collect()}
+    assert got == expected
+
+
+def test_lm_doc_trigram_counts_equal_hof(docs):
+    from document_extraction_spark.operators import lm_score as LM
+
+    dk = LM._doc_trigram_counts(docs, "text", LM.MAX_CHARS)
+    hof = (
+        LM._trigrams(LM._normed(docs, "text", LM.MAX_CHARS))
+        .groupBy("doc_id", "tg")
+        .agg(F.count("*").alias("k"))
+    )
+    assert _rows(dk) == _rows(hof)
