@@ -27,10 +27,17 @@ Plan shape at 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from document_extraction_spark.functions.textstats import tokens
+
+# Python twin of the Java \s class behind textstats.tokens (Python re's \s
+# would additionally match Unicode whitespace — see operators/dedup.py)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def blocked_levenshtein_pairs(
@@ -46,35 +53,57 @@ def blocked_levenshtein_pairs(
     ``prefix_chars``-prefix edit distance is <= ``max_distance``;
     doc_a < doc_b, ordered. See module docstring for the multi-key recall
     argument."""
-    tk = tokens(F.lower(F.col(text_col)))
-    head = F.concat(
-        F.lit("h:"), F.array_join(F.slice(tk, 1, block_tokens), " ")
-    )
-    tail = F.concat(
-        F.lit("t:"),
-        F.array_join(
-            F.slice(
-                tk,
-                F.greatest(F.size(tk) - F.lit(block_tokens - 1), F.lit(1)),
-                block_tokens,
-            ),
-            " ",
-        ),
-    )
+    # r7 Arrow kernel (guide §4.2): the head/tail block keys ran as
+    # interpreted tokens->slice->array_join HOFs per document, and the
+    # un-materialized `base` subtree was evaluated twice (sizes + bounded).
+    # The kernel emits the identical two (doc_id, block, prefix) rows per
+    # tokenizable doc — head 'h:' + first `block_tokens` lowercase tokens,
+    # tail 't:' + the last `block_tokens` (1-based slice from
+    # max(len - block_tokens + 1, 1), so short docs emit head == tail
+    # TWICE, exactly like exploding array(head, tail)) — and the result is
+    # materialized once.  ADVICE r4 carry-over: blank/whitespace-only
+    # documents tokenize to nothing and are dropped (they'd collapse onto
+    # the constant 'h:'/'t:' hot blocks).  Kernel-vs-HOF set equality is
+    # pinned in tests/test_dedup_kernels.py.
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(docs.sparkSession)
+    id_type = docs.schema[id_col].dataType
+    base_schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("block", T.StringType()),
+        T.StructField("prefix", T.StringType()),
+    ])
+
+    def base_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            blocks: list[str] = []
+            prefixes: list[str] = []
+            for doc_id, text in zip(pdf["_id"], pdf["_txt"]):
+                if text is None:
+                    continue
+                toks = [t for t in _JAVA_WS.split(text.lower()) if t]
+                if not toks:
+                    continue
+                head = "h:" + " ".join(toks[:block_tokens])
+                start = max(len(toks) - block_tokens + 1, 1)
+                tail = "t:" + " ".join(toks[start - 1 : start - 1 + block_tokens])
+                prefix = text[:prefix_chars]
+                ids.extend((doc_id, doc_id))
+                blocks.extend((head, tail))
+                prefixes.extend((prefix, prefix))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "block": blocks, "prefix": prefixes}
+                )
+
     base = (
-        docs
-        # ADVICE r4: blank/whitespace-only documents tokenize to an empty
-        # array, collapsing them ALL onto the constant blocks 'h:'/'t:' —
-        # one quadratic hot block of pairs carrying zero fuzzy-match signal
-        # (and a Spark/DuckDB divergence: array_join('') vs
-        # array_to_string(NULL)). They carry no blocking evidence; drop
-        # them from the blocking base explicitly.
-        .filter(F.size(tk) > 0)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array(head, tail)).alias("block"),
-            F.substring(F.col(text_col), 1, prefix_chars).alias("prefix"),
-        )
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+        .mapInPandas(base_kernel, schema=base_schema)
+        .localCheckpoint(eager=False)
     )
     # no broadcast hint: the allowed-block set is proportional to the number
     # of distinct blocks — AQE picks the join strategy from its actual size
@@ -90,16 +119,22 @@ def blocked_levenshtein_pairs(
     b = bounded.select(
         F.col("block"), F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
     )
-    cand = (
-        a.join(b, "block")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # a pair matching in both its head and tail blocks arrives twice:
-        # dedup BEFORE the O(prefix^2) verify, keyed by the pair only (the
-        # prefixes are functionally determined by the ids)
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
+    # r7 reorder (guide §2.3 — shuffle fewer bytes): measured at sf1.0 the
+    # head/tail double-match dedup removes only ~0.06% of candidate rows
+    # (1,592 of 2.75M), so deduping FIRST dragged both 60-char prefixes
+    # through the exchange to save almost no Levenshtein work.  Verify
+    # first — banded: the threshold arg makes the DP abandon once the edit
+    # distance provably exceeds max_distance (returning -1), which for
+    # mostly-distant 60-char prefixes is most of the matrix — then filter,
+    # then dedup the narrow (doc_a, doc_b, dist) survivors.  Duplicate
+    # rows carry identical prefixes hence identical dist, and filter
+    # commutes with pair-dedup, so the output set is unchanged.
     return (
-        cand.withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
-        .filter(F.col("dist") <= max_distance)
+        cand.withColumn(
+            "dist", F.levenshtein("pa", "pb", max_distance).cast("long")
+        )
+        .filter(F.col("dist") >= 0)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "dist")
     )

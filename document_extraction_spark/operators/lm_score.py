@@ -131,14 +131,47 @@ def _trigrams(df: DataFrame) -> DataFrame:
 def trigram_model(docs: DataFrame, text_col: str = "text",
                   max_chars: int = MAX_CHARS) -> tuple[DataFrame, DataFrame]:
     """Corpus model: (trigram counts c3, context counts c2). Both key spaces
-    are alphabet-bounded, so the two count shuffles produce tiny,
-    broadcastable tables at any corpus size."""
-    tg = _trigrams(_normed(docs, text_col, max_chars))
-    c3 = tg.groupBy("tg").agg(F.count("*").alias("c3"))
+    are alphabet-bounded, so the count shuffle produces tiny, broadcastable
+    tables at any corpus size.  r7: ONE normalization+count pass — the
+    Arrow kernel emits per-batch (tg, k) partials (<= 27^3 rows each,
+    guide §2.3 aggregate-before-shuffle), c3 sums them, and c2 is derived
+    from the materialized c3 (sum per 2-char context == the instance count
+    the old second pass computed)."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(docs.sparkSession)
+    schema = T.StructType([
+        T.StructField("tg", T.StringType()),
+        T.StructField("k", T.LongType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+
+        agg: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["_txt"]:
+                norm = _py_norm(text, max_chars)
+                if norm is None:
+                    continue
+                for i in range(len(norm) - 2):
+                    t = norm[i : i + 3]
+                    agg[t] = agg.get(t, 0) + 1
+        if agg:
+            yield pd.DataFrame({"tg": list(agg.keys()), "k": list(agg.values())})
+
+    part = docs.select(F.col(text_col).alias("_txt")).mapInPandas(
+        kernel, schema=schema
+    )
+    c3 = (
+        part.groupBy("tg")
+        .agg(F.sum("k").alias("c3"))
+        .localCheckpoint(eager=False)
+    )
     c2 = (
-        tg.select(F.substring("tg", 1, 2).alias("ctx"))
+        c3.select(F.substring("tg", 1, 2).alias("ctx"), "c3")
         .groupBy("ctx")
-        .agg(F.count("*").alias("c2"))
+        .agg(F.sum("c3").alias("c2"))
     )
     return c3, c2
 
@@ -150,42 +183,95 @@ def lm_score(docs: DataFrame, text_col: str = "text",
     (lower = more predictable = more natural text), sum_p_micro the
     integer-exact scaled probability mass (higher = more predictable).
     """
-    # r7 single-pass restructure (guide §1.2 step 1): the per-doc count
-    # table dk is computed ONCE by the Arrow kernel and materialized; the
-    # corpus model is RE-DERIVED from it (c3 = sum of k per trigram, c2 =
-    # sum of c3 per 2-char context — exactly the instance counts the
-    # separate trigram_model passes produced), so the normalize+trigram
-    # work that previously ran 3-4x (model c3, model c2, dk — with no CSE
-    # across DataFrame branches) now runs once.
-    dk = _doc_trigram_counts(docs, text_col, max_chars).localCheckpoint(
-        eager=False
-    )
-    c3 = dk.groupBy("tg").agg(F.sum("k").alias("c3"))
-    c2 = (
-        c3.select(F.substring("tg", 1, 2).alias("ctx"), "c3")
-        .groupBy("ctx")
-        .agg(F.sum("c3").alias("c2"))
-    )
-    terms = (
-        dk.join(F.broadcast(c3), "tg")
-        .withColumn("ctx", F.substring("tg", 1, 2))
+    # r7 two-pass restructure (guide §1.2 step 1 + §8: decide with small
+    # rows).  Pass 1 trains the model: per-batch trigram count PARTIALS
+    # from the Arrow kernel -> one groupBy whose key space is alphabet-
+    # bounded (<= 27^3 rows at ANY corpus size); c2 is re-derived from c3
+    # (sum per 2-char context — exactly the instance counts the separate
+    # c2 pass produced).  The per-cell p_micro / bits terms are computed
+    # IN THE JVM on that tiny frame — the identical expressions as before,
+    # so log2 + round(.,5) + decimal cast are bit-for-bit the old cells —
+    # and the <= 27^3-row model is collected (a bounded driver aggregate,
+    # the BPE best-pair class) into the pass-2 closure.  Pass 2 scores
+    # every document inside the kernel: integer sums and exact
+    # decimal.Decimal k x bits accumulation per doc (the same order-free
+    # exact sums the old groupBy computed), final division + round(.,4)
+    # left in the JVM.  The old plan's per-doc (doc, tg, k) table (12.5M
+    # rows at sf1.0), its two broadcast joins, and the final groupBy(doc)
+    # shuffle all disappear; the corpus is read twice but each pass is
+    # map-only.
+    c3, c2 = trigram_model(docs, text_col, max_chars)
+    cells = (
+        c3.withColumn("ctx", F.substring("tg", 1, 2))
         .join(F.broadcast(c2), "ctx")
         .select(
-            "doc_id",
-            "k",
+            "tg",
             F.expr(f"(1000000 * (c3 + 1)) div (c2 + {ALPHABET})").alias("p_micro"),
             F.round(
                 F.log2((F.col("c3") + 1).cast("double") / (F.col("c2") + ALPHABET)), 5
             ).cast("decimal(18,5)").alias("bits"),
         )
     )
-    return terms.groupBy("doc_id").agg(
-        F.sum("k").alias("n_tg"),
-        F.sum(F.col("k") * F.col("p_micro")).alias("sum_p_micro"),
+    model = {
+        r["tg"]: (r["p_micro"], r["bits"]) for r in cells.collect()
+    }
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(docs.sparkSession)
+    id_type = docs.schema["doc_id"].dataType
+    schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("n_tg", T.LongType()),
+        T.StructField("sum_p_micro", T.LongType()),
+        T.StructField("_kb", T.StringType()),
+    ])
+
+    def score_kernel(batches):
+        from decimal import Decimal
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            ntgs: list[int] = []
+            spms: list[int] = []
+            kbs: list[str] = []
+            for doc_id, text in zip(pdf["_id"], pdf["_txt"]):
+                norm = _py_norm(text, max_chars)
+                if norm is None:
+                    continue
+                counts: dict[str, int] = {}
+                for i in range(len(norm) - 2):
+                    t = norm[i : i + 3]
+                    counts[t] = counts.get(t, 0) + 1
+                spm = 0
+                kb = Decimal(0)
+                n_tg = 0
+                for t, k in counts.items():
+                    pm, bits = model[t]
+                    n_tg += k
+                    spm += k * pm
+                    kb += k * bits
+                ids.append(doc_id)
+                ntgs.append(n_tg)
+                spms.append(spm)
+                kbs.append(str(kb))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "n_tg": ntgs, "sum_p_micro": spms, "_kb": kbs}
+                )
+
+    scored = docs.select(
+        F.col("doc_id").alias("_id"), F.col(text_col).alias("_txt")
+    ).mapInPandas(score_kernel, schema=schema)
+    return scored.select(
+        "doc_id",
+        "n_tg",
+        "sum_p_micro",
         (
             F.round(
-                -F.sum(F.col("k") * F.col("bits")).cast("double")
-                / F.sum("k").cast("double"),
+                -F.col("_kb").cast("decimal(38,5)").cast("double")
+                / F.col("n_tg").cast("double"),
                 4,
             )
             + F.lit(0.0)

@@ -88,6 +88,43 @@ def _mutual_filter(scored: DataFrame, min_cos: float | None) -> DataFrame:
     return out
 
 
+def _mutual_filter_agg(scored: DataFrame, min_cos: float | None) -> DataFrame:
+    """Aggregate-form mutuality — same verdict as :func:`_mutual_filter`,
+    built for candidate streams too large to window-sort: each side's
+    argmax is ``max(struct(_raw, -other_id))`` (ties on _raw pick the
+    SMALLEST other id, exactly row_number's orderBy(_raw desc, id) —
+    struct max compares fields left to right, and Spark orders NaN above
+    every double in both sorts and max, so the verdict is identical), and
+    a pair is mutual iff the two argmax rows coincide.  Hash aggregation
+    does map-side partial combine, so a |candidates|-row stream collapses
+    to |corpus|-row tables BEFORE any exchange — the two full
+    sort-shuffles of the window form (25M rows each at sf1.0) become two
+    tiny aggregations plus one broadcast-able semi-join.  Duplicate
+    candidate rows (a pair colliding in several bands) carry identical
+    _raw and are absorbed by the max, so no upstream pair-dedup shuffle
+    is needed either.  ``scored`` is materialized once (localCheckpoint —
+    the dedup.py candidates recipe) because both directions aggregate it."""
+    s = scored.localCheckpoint(eager=False)
+    best_l = s.groupBy("left_id").agg(
+        F.max(F.struct(F.col("_raw"), (-F.col("right_id")).alias("_nr"))).alias("m")
+    )
+    best_r = s.groupBy("right_id").agg(
+        F.max(F.struct(F.col("_raw"), (-F.col("left_id")).alias("_nl"))).alias("m")
+    )
+    bl = best_l.select(
+        "left_id",
+        (-F.col("m._nr")).alias("right_id"),
+        F.col("m._raw").alias("_raw"),
+    )
+    br = best_r.select((-F.col("m._nl")).alias("left_id"), "right_id")
+    out = bl.join(br, ["left_id", "right_id"], "left_semi").select(
+        "left_id", "right_id", F.round("_raw", 4).alias("cos")
+    )
+    if min_cos is not None:
+        out = out.where(F.col("cos") >= min_cos)
+    return out
+
+
 def mutual_top1_srp(
     left: DataFrame,
     right: DataFrame,
@@ -156,14 +193,14 @@ def mutual_top1_srp(
     # joined stream is consumed map-side by the Arrow cosine kernel
     # (bit-exact to the HOF `cosine` — similarity.cosine_arrow), so the
     # heavy vector payload crosses exactly ONE shuffle per side (the
-    # banded bucket exchange) and every later shuffle carries only
+    # banded bucket exchange) and everything downstream carries only
     # (left_id, right_id, _raw) — 24 bytes/row instead of two vectors
     # (guide §2.3/§8: decide on light rows, never re-shuffle payloads).
     # A pair colliding in several bands is scored once per collision
-    # (identical double each time — same inputs, same kernel) and
-    # deduplicated on the NARROW frame; pre-kernel dedup would instead
-    # drag both vectors through the dropDuplicates exchange, which at
-    # sf1.0 is a ~25 GB shuffle for ~1.2x fewer kernel rows.
+    # (identical double each time — same inputs, same kernel); the
+    # aggregate mutuality filter absorbs the duplicates, so the old
+    # dropDuplicates exchange (25M rows x two vectors ~ 25 GB at sf1.0)
+    # is gone outright.
     scored = (
         banded(left, "left_id", "lvec")
         .join(banded(right, "right_id", "rvec"), "bucket")
@@ -172,10 +209,5 @@ def mutual_top1_srp(
             "right_id",
             cosine_arrow(F.col("lvec"), F.col("rvec")).alias("_raw"),
         )
-        # one row per PAIR, not per colliding band
-        .dropDuplicates(["left_id", "right_id"])
-        .select(
-            "left_id", "right_id", F.col("_raw"), F.round("_raw", 4).alias("cos")
-        )
     )
-    return _mutual_filter(scored, min_cos)
+    return _mutual_filter_agg(scored, min_cos)

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from document_extraction_spark.operators.dedup import _tokens_df
 
@@ -57,7 +58,61 @@ MIN_OCCURRENCES = 2
 def _gram_occurrences(base: DataFrame, width: int) -> DataFrame:
     """(doc_id, p, ghash) — one row per width-gram start position p
     (1-based). Docs shorter than ``width`` emit nothing: they cannot
-    contain a duplicated span of >= width tokens."""
+    contain a duplicated span of >= width tokens.
+
+    r7 Arrow kernel (guide §4.2): the per-position
+    md5(array_join(slice(...))) chain ran as interpreted HOF expressions;
+    the kernel hashes each gram with hashlib over the already-tokenized
+    array, memoizing repeated grams per task (boilerplate repeats are the
+    whole point of this operator).  Same rows — md5 of the identical
+    space-joined gram text — pinned vs the HOF twin in
+    tests/test_dedup_kernels.py."""
+    from document_extraction_spark.session import ensure_worker_package
+
+    ensure_worker_package(base.sparkSession)
+    id_type = base.schema["doc_id"].dataType
+    schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("p", T.IntegerType()),
+        T.StructField("ghash", T.StringType()),
+    ])
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        memo: dict[str, str] = {}
+        for pdf in batches:
+            ids: list = []
+            ps: list[int] = []
+            hs: list[str] = []
+            for doc_id, tk in zip(pdf["doc_id"], pdf["_tk"]):
+                n = len(tk)
+                if n < width:
+                    continue
+                toks = list(tk)
+                for p in range(1, n - width + 2):
+                    g = " ".join(toks[p - 1 : p - 1 + width])
+                    h = memo.get(g)
+                    if h is None:
+                        h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                        if len(memo) >= 2_000_000:
+                            memo.clear()
+                        memo[g] = h
+                    ids.append(doc_id)
+                    ps.append(p)
+                    hs.append(h)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "p": ps, "ghash": hs})
+
+    return base.select("doc_id", "_tk").mapInPandas(kernel, schema=schema)
+
+
+def _gram_occurrences_hof(base: DataFrame, width: int) -> DataFrame:
+    """Pure-Column HOF twin of :func:`_gram_occurrences` (pre-r7 path) —
+    the expression tree the DuckDB oracle mirrors; kernel equality pinned
+    in tests/test_dedup_kernels.py."""
     tk = F.col("_tk")
     return (
         base.filter(F.size(tk) >= width)
@@ -88,8 +143,13 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     stream every dedup operator here works on). Fully-duplicated docs get
     clean_text = ''.
     """
-    base = _tokens_df(df, id_col, text_col)
-    occ = _gram_occurrences(base, width)
+    # r7 lineage cuts (guide §5): `base` feeds three branches (occ, the
+    # token-position reconstruction, and the final n_tokens select) and
+    # `occ` feeds two (the dup-gram aggregate and the hits semi-join) —
+    # without materialization the tokenizer ran ~3x and the gram hashing
+    # 2x (no CSE across DataFrame branches).
+    base = _tokens_df(df, id_col, text_col).localCheckpoint(eager=False)
+    occ = _gram_occurrences(base, width).localCheckpoint(eager=False)
 
     dup = (
         occ.groupBy("ghash")

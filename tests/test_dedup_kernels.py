@@ -124,6 +124,32 @@ def test_dsir_kernel_counts_equal_hof(docs):
     assert got == expected
 
 
+def test_span_gram_occurrences_kernel_equals_hof(docs):
+    from document_extraction_spark.operators import span_dedup as SPD
+    from document_extraction_spark.operators.dedup import _tokens_df
+
+    base = _tokens_df(docs, "doc_id", "text")
+    assert _rows(SPD._gram_occurrences(base, SPD.SPAN_WIDTH)) == _rows(
+        SPD._gram_occurrences_hof(base, SPD.SPAN_WIDTH)
+    )
+
+
+def test_fuzzy_blocked_pairs_edge_rows(spark, docs):
+    """The kernelized blocking base must drop blank/whitespace-only docs
+    (ADVICE r4) and still pair near-identical prefixes."""
+    from document_extraction_spark.operators.fuzzy import blocked_levenshtein_pairs
+
+    extra = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma deltaX")],
+        "doc_id long, text string",
+    )
+    out = blocked_levenshtein_pairs(docs.unionByName(extra), max_distance=5)
+    got = {(r["doc_a"], r["doc_b"]): r["dist"] for r in out.collect()}
+    assert got[(1, 2)] == 1
+    flat = {i for ab in got for i in ab}
+    assert not ({9001, 9002, 9003, 9004} & flat)
+
+
 def test_lm_doc_trigram_counts_equal_hof(docs):
     from document_extraction_spark.operators import lm_score as LM
 
