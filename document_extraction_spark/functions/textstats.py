@@ -57,15 +57,32 @@ def stopword_hits(col: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
-def lang_guess(col: Column) -> Column:
-    """Argmax of per-language stopword hits; deterministic tie-break by the
-    fixed language order en > fr > de > es, 'und' when no hits at all."""
-    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+def stopword_hits_from_lower_tokens(lower_toks: Column, lang: str) -> Column:
+    """:func:`stopword_hits` over a PRE-COMPUTED lowercased token array —
+    identical expression tail, minus the per-language re-tokenization.
+    Callers evaluating several languages over one text (lang_guess) name
+    the token array once in a prior select (r7, the dedup.py plan-shape
+    note: Catalyst only CSEs multiply-referenced projection OUTPUTS)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(lower_toks, lambda t: t.isin(*words))).cast("long")
+
+
+def lang_guess_from_hits(hits: dict[str, Column]) -> Column:
+    """The :func:`lang_guess` argmax/tie-break tail over pre-computed
+    per-language hit columns — bit-identical decision logic."""
     best = F.greatest(*hits.values())
     out = F.lit("und")
     for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
         out = F.when(hits[lang] == best, F.lit(lang)).otherwise(out)
     return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def lang_guess(col: Column) -> Column:
+    """Argmax of per-language stopword hits; deterministic tie-break by the
+    fixed language order en > fr > de > es, 'und' when no hits at all."""
+    return lang_guess_from_hits(
+        {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    )
 
 
 # PII scrubbing: conservative patterns in the Java/RE2 common regex subset.
@@ -112,18 +129,25 @@ SQL_CANONICAL_URL = (
 )
 
 
-def quality_score(col: Column) -> Column:
-    """Deterministic [0,1] quality heuristic: length saturation x punctuation
-    sanity x mean-token-length sanity. Rounded to 4 decimals so the oracle
-    comparison is float-stable across engines."""
-    n_tok = token_count(col)
+def quality_score_from(n_tok: Column, n_punct: Column, col: Column) -> Column:
+    """:func:`quality_score`'s arithmetic tail over pre-computed token and
+    punctuation counts — the identical IEEE expression sequence, letting
+    callers that already materialized a token array (plans/curation.py)
+    skip the re-tokenization."""
     n_chars = F.length(col).cast("double")
     len_sat = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(40.0))
-    punct_ratio = punct_count(col).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(5.0))
     mean_tok = n_chars / F.greatest(n_tok.cast("double"), F.lit(1.0))
     tok_ok = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round(len_sat * punct_ok * tok_ok, 4)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation x punctuation
+    sanity x mean-token-length sanity. Rounded to 4 decimals so the oracle
+    comparison is float-stable across engines."""
+    return quality_score_from(token_count(col), punct_count(col), col)
 
 
 def word_ngrams(tok_col: Column, n: int) -> Column:

@@ -292,12 +292,17 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
+    # r7: materialize the bucket table ONCE — both sides of the self-join
+    # (and the optional cap's groupBy) reference it, and a map-only lineage
+    # has no exchange for Spark to reuse, so without the cut the whole
+    # upstream signature pass ran once PER REFERENCE (guide §5; measured
+    # 2x the MinHash kernel at sf1.0)
     buckets = banded.select(
         "doc_id",
         F.explode(F.array(*[
             F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(bands)
         ])).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
     if max_bucket_size is not None:
         keep = (
             buckets.groupBy("bucket")
@@ -506,8 +511,13 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20,
         )
         # checkpoint FIRST (cut lineage), then aggregate the checkpointed
         # frame — aggregating the un-checkpointed plan would evaluate the
-        # round's join twice
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # round's join twice.  r7: eager=False fuses materialization into
+        # the convergence aggregate — the agg job computes the round's join
+        # once, persisting the blocks as it streams them (non-eager
+        # localCheckpoint persists on first use), so each round costs ONE
+        # scheduler job instead of two; on the near-dup graph (a few
+        # thousand edges) per-round job overhead WAS the cost.
+        new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(label_sum).collect()[0]["s"]
         labels = new_labels
         if cur_sum == prev_sum:

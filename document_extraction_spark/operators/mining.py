@@ -36,7 +36,7 @@ from document_extraction_spark.operators.similarity import (
     _checked_dim,
     _hyperplanes,
     cosine,
-    cosine_arrow,
+    cosine_pairs_arrow,
     srp_signature,
 )
 
@@ -190,24 +190,23 @@ def mutual_top1_srp(
         )
 
     # Score at the bucket-join OUTPUT, before any further exchange: the
-    # joined stream is consumed map-side by the Arrow cosine kernel
-    # (bit-exact to the HOF `cosine` — similarity.cosine_arrow), so the
-    # heavy vector payload crosses exactly ONE shuffle per side (the
-    # banded bucket exchange) and everything downstream carries only
-    # (left_id, right_id, _raw) — 24 bytes/row instead of two vectors
+    # joined stream flows straight into the zero-copy mapInArrow cosine
+    # kernel (bit-exact to the HOF `cosine` — similarity.cosine_pairs_arrow,
+    # which also documents why the pandas_udf and flat-expression variants
+    # lost), so the heavy vector payload crosses exactly ONE shuffle per
+    # side (the banded bucket exchange) and everything downstream carries
+    # only (left_id, right_id, _raw) — 24 bytes/row instead of two vectors
     # (guide §2.3/§8: decide on light rows, never re-shuffle payloads).
     # A pair colliding in several bands is scored once per collision
     # (identical double each time — same inputs, same kernel); the
     # aggregate mutuality filter absorbs the duplicates, so the old
     # dropDuplicates exchange (25M rows x two vectors ~ 25 GB at sf1.0)
     # is gone outright.
-    scored = (
+    scored = cosine_pairs_arrow(
         banded(left, "left_id", "lvec")
         .join(banded(right, "right_id", "rvec"), "bucket")
-        .select(
-            "left_id",
-            "right_id",
-            cosine_arrow(F.col("lvec"), F.col("rvec")).alias("_raw"),
-        )
+        .select("left_id", "right_id", "lvec", "rvec"),
+        "lvec",
+        "rvec",
     )
     return _mutual_filter_agg(scored, min_cos)

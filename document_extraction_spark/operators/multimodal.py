@@ -844,7 +844,9 @@ def video_frame_summary(media: DataFrame, n_sample: int = 3) -> DataFrame:
                             len(frames),
                             int(img.shape[1]),
                             int(img.shape[0]),
-                            int(img.astype(np.int64).sum()),
+                            # sum with an int64 accumulator — same exact
+                            # integer as astype(int64).sum(), no full copy
+                            int(img.sum(dtype=np.int64)),
                         )
                     )
             yield pd.DataFrame(
@@ -891,11 +893,23 @@ def synth_video_media_df(spark, documents: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 n_frames = 4 + did % 5
-                payload = b"".join(
-                    encode_ppm(synth_video_pixels(did, f)) for f in range(n_frames)
-                )
                 w = 8 + did % 9
                 h = 8 + (did // 3) % 9
+                # r7: all frames of the clip in ONE broadcasted modulo
+                # (frame axis added to the synth_video_pixels formula) —
+                # the per-frame arange/broadcast overhead dominated the
+                # tiny 8-16px frames; pixel bytes are identical
+                f = np.arange(n_frames).reshape(-1, 1, 1, 1)
+                i = np.arange(h).reshape(1, -1, 1, 1)
+                j = np.arange(w).reshape(1, 1, -1, 1)
+                c = np.arange(3).reshape(1, 1, 1, -1)
+                clip = (
+                    (did * 31 + f * 17 + i * 7 + j * 3 + c * 11) % 256
+                ).astype(np.uint8)
+                hdr = b"P6\n%d %d\n255\n" % (w, h)
+                payload = b"".join(
+                    hdr + clip[k].tobytes() for k in range(n_frames)
+                )
                 rows.append(
                     (did, "video", "video/x-mppm", payload, w, h, n_frames * 40)
                 )

@@ -51,12 +51,42 @@ def curate_documents(
         F.col("conv_id").cast("long").alias(id_col),
         F.col("text"),
     )
+    # r7 gate restructure (the dedup.py plan-shape note): quality_score and
+    # lang_guess both tokenize, and lang_guess's argmax references each
+    # language's hit count twice — inlined, the interpreted tokenize+filter
+    # HOFs re-ran up to 9x per row.  Naming the token array, its lowered
+    # form, and the four hit counts as projection outputs evaluates each
+    # ONCE; the _from variants apply the identical expression tails, so
+    # every gate value (and the oracle hash) is unchanged.
+    with_toks = extracted.select(
+        id_col,
+        "text",
+        TS.tokens(F.col("text")).alias("_tk"),
+    )
+    with_hits = with_toks.select(
+        id_col,
+        "text",
+        F.size("_tk").cast("long").alias("_ntok"),
+        F.transform("_tk", lambda t: F.lower(t)).alias("_tkl"),
+    ).select(
+        id_col,
+        "text",
+        "_ntok",
+        *[
+            TS.stopword_hits_from_lower_tokens(F.col("_tkl"), lang).alias(f"_h_{lang}")
+            for lang in TS.STOPWORDS
+        ],
+    )
     gated = (
-        extracted.select(
+        with_hits.select(
             id_col,
             "text",
-            TS.quality_score(F.col("text")).alias("quality"),
-            TS.lang_guess(F.col("text")).alias("lang"),
+            TS.quality_score_from(
+                F.col("_ntok"), TS.punct_count(F.col("text")), F.col("text")
+            ).alias("quality"),
+            TS.lang_guess_from_hits(
+                {lang: F.col(f"_h_{lang}") for lang in TS.STOPWORDS}
+            ).alias("lang"),
             TS.fingerprint(F.col("text")).alias("_fp"),
         )
         .filter(F.col("quality") >= min_quality)

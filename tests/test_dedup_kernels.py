@@ -97,6 +97,39 @@ def test_cosine_arrow_bit_exact(spark, testdata_dir):
         assert r["hof"] == r["arrow"], (r["ia"], r["hof"], r["arrow"])
 
 
+def test_cosine_pairs_arrow_bit_exact(spark, testdata_dir):
+    """The mapInArrow pair scorer must match the HOF cosine BIT-FOR-BIT
+    (the mining argmax aggregates compare the raw double)."""
+    from document_extraction_spark.operators.similarity import (
+        cosine,
+        cosine_pairs_arrow,
+    )
+
+    emb = spark.read.parquet(f"{testdata_dir}/sf0.001/embeddings.parquet")
+    pairs = (
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .join(
+            emb.select(
+                (F.col("vec_id") + 1).alias("ib"), F.col("embedding").alias("vb")
+            ),
+            F.col("ia") == F.col("ib"),
+        )
+    )
+    hof = {
+        r["ia"]: r["c"]
+        for r in pairs.select(
+            "ia", cosine(F.col("va"), F.col("vb")).alias("c")
+        ).collect()
+    }
+    arrow = {
+        r["ia"]: r["_raw"]
+        for r in cosine_pairs_arrow(
+            pairs.select("ia", "va", "vb"), "va", "vb"
+        ).collect()
+    }
+    assert hof and arrow == hof
+
+
 def test_dsir_kernel_counts_equal_hof(docs):
     """The per-doc bucket-count kernel vs the original explode+HOF chain."""
     from document_extraction_spark.operators import dsir as DS
