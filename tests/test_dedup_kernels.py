@@ -167,6 +167,42 @@ def test_span_gram_occurrences_kernel_equals_hof(docs):
     )
 
 
+def test_myers_distances_match_spark_levenshtein(spark):
+    """The vectorized Myers kernel must equal F.levenshtein exactly on
+    adversarial strings: random ASCII, Unicode (incl. surrogates-adjacent
+    BMP chars and NUL), empty/short strings, near-identical pairs."""
+    import random
+
+    from document_extraction_spark.operators.fuzzy import _myers_distances
+
+    rng = random.Random(42)
+    alpha = "ab cdeé世\x00xyz0123"
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("a", "a"), ("a", "b")]
+    for _ in range(400):
+        la = rng.randint(0, 60)
+        lb = rng.randint(0, 60)
+        cases.append(
+            (
+                "".join(rng.choice(alpha) for _ in range(la)),
+                "".join(rng.choice(alpha) for _ in range(lb)),
+            )
+        )
+    # near-identical pairs (the regime the operator keeps)
+    for _ in range(100):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(10, 60)))
+        t = list(s)
+        for _ in range(rng.randint(0, 3)):
+            pos = rng.randrange(len(t))
+            t[pos] = rng.choice(alpha)
+        cases.append((s, "".join(t)))
+    df = spark.createDataFrame(cases, "a string, b string")
+    expected = [
+        r["d"] for r in df.select(F.levenshtein("a", "b").alias("d")).collect()
+    ]
+    got = _myers_distances([c[0] for c in cases], [c[1] for c in cases], 60)
+    assert list(got) == expected
+
+
 def test_fuzzy_blocked_pairs_edge_rows(spark, docs):
     """The kernelized blocking base must drop blank/whitespace-only docs
     (ADVICE r4) and still pair near-identical prefixes."""
