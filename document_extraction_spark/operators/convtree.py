@@ -58,15 +58,20 @@ def conv_root_paths(
     ).localCheckpoint(eager=True)
 
     for _ in range(max_rounds):
-        remaining = state.where(F.col("ptr").isNotNull()).limit(1).count()
-        if remaining == 0:
-            break
         anc = state.select(
             F.col("conv_id").alias("_ac"),
             F.col("node_id").alias("_an"),
             F.col("ptr").alias("_aptr"),
             F.col("chain").alias("_achain"),
         )
+        # r7: ONE scheduler job per round — the convergence count runs over
+        # the round's non-eager checkpoint, materializing its blocks as it
+        # counts (the dedup_clusters CC recipe); the old shape paid a
+        # separate probe job per round, and per-round job overhead WAS most
+        # of the cost on log2(depth) rounds of a small frame.  A round over
+        # an already-converged state is the identity (every ptr NULL takes
+        # the no-op branch), so join-then-check stops at the same fixpoint
+        # check-then-join did.
         state = (
             state.join(
                 anc,
@@ -91,8 +96,11 @@ def conv_root_paths(
                 )
                 .alias("chain"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        remaining = state.agg(F.count("ptr").alias("n")).collect()[0]["n"]
+        if remaining == 0:
+            break
     else:
         raise RuntimeError(
             f"conv_root_paths did not converge in {max_rounds} rounds — "

@@ -32,20 +32,22 @@ Scale design (100 TB corpus):
   semi-join key distribution mirrors the corpus and AQE skew-split applies.
 * covered positions are (doc_id, int) pairs — ``width`` rows per duplicated
   occurrence, deduplicated map-side before the per-doc merge.
-* text reconstruction is the one |tokens|-row stage: posexplode -> anti-join
-  covered -> per-doc sorted collect. The shuffle key is doc_id (pre-
-  partitioned corpora co-locate it); an array-side alternative (filter the
-  token array against a collected starts array with an ``exists`` lambda)
-  keeps reconstruction map-only at O(n_tokens * n_spans) interpreted-HOF
-  cost per doc — worse on boilerplate-heavy docs, noted for completeness.
+* text reconstruction (r7): covered positions roll up ONCE per doc
+  (collect_list — the only shuffle the covered stream pays, sized by
+  duplicated positions, not corpus tokens), join back to the token arrays,
+  and one Arrow kernel emits stats + clean text per doc.  The pre-r7 tail
+  (per-doc lag window + |tokens|-row posexplode + (doc, position) anti-join
+  + |kept-tokens|-row sorted collect) ran three full-token-stream shuffles
+  for the same answer.
 
 Oracle: every step is relational (group, semi-join, window, ordered
-string_agg) and replicated verbatim in DuckDB SQL in ``__spark_entry__``.
+string_agg) and replicated verbatim in DuckDB SQL in ``__spark_entry__``
+— the engine computes the identical integers/strings through the rollup.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -167,61 +169,71 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         )
         .distinct()
     )
-    # `covered` feeds BOTH the stats branch and the anti-join branch; Spark
-    # does not CSE across DataFrame branches, so without a lineage cut the
-    # gram scan + dup-gram aggregation run twice (two extra corpus scans at
-    # 100 TB). Same pattern as dedup.jaccard_verify_candidates:237.
-    if materialize_covered:
-        covered = covered.localCheckpoint(eager=False)
+    # r7 tail restructure (guide §2.3/§2.4): the old tail ran a per-doc
+    # window over `covered` (one shuffle), a |tokens|-row posexplode, a
+    # (doc, position)-keyed ANTI join, and a |kept-tokens|-row
+    # collect_list groupBy — three full-token-stream shuffles to rebuild
+    # text the token arrays in `base` already hold.  Now `covered` rolls
+    # up ONCE per doc (collect_list over the distinct positions — the
+    # only remaining covered shuffle), joins back to the token arrays,
+    # and ONE Arrow kernel derives stats + clean text per doc: the merged
+    # span count is the run count of the sorted positions (identical to
+    # the lag-window formulation), clean_text the in-order join of
+    # uncovered tokens (identical to the sort-by-position collect).
+    stats_clean = covered.groupBy("doc_id").agg(
+        F.collect_list("cp").alias("_cps")
+    )
+    joined = base.join(stats_clean, "doc_id", "left")
+    id_type = base.schema["doc_id"].dataType
+    out_schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("dup_token_count", T.LongType()),
+        T.StructField("dup_span_count", T.LongType()),
+        T.StructField("clean_text", T.StringType()),
+    ])
 
-    w_doc = Window.partitionBy("doc_id").orderBy("cp")
-    stats = (
-        covered.withColumn("_lag", F.lag("cp").over(w_doc))
-        .withColumn(
-            "_st",
-            F.when(F.col("_lag").isNull() | (F.col("cp") - F.col("_lag") > 1), 1)
-            .otherwise(0),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("dup_token_count"),
-            F.sum("_st").cast("long").alias("dup_span_count"),
-        )
-    )
+    def tail_kernel(batches):
+        import pandas as pd
 
-    tokpos = base.select(
-        "doc_id", F.posexplode("_tk").alias("tp0", "tok")
-    ).select("doc_id", (F.col("tp0") + 1).alias("tp"), "tok")
-    cov_k = covered.select(
-        F.col("doc_id").alias("_cd"), F.col("cp").alias("_cp")
-    )
-    kept = tokpos.join(
-        cov_k,
-        (tokpos["doc_id"] == cov_k["_cd"]) & (tokpos["tp"] == cov_k["_cp"]),
-        "left_anti",
-    )
-    clean = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("tp", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("clean_text")
-        )
-    )
+        for pdf in batches:
+            ids: list = []
+            ntok: list[int] = []
+            dtc: list[int] = []
+            dsc: list[int] = []
+            clean: list[str] = []
+            for doc_id, tk, cps in zip(pdf["doc_id"], pdf["_tk"], pdf["_cps"]):
+                toks = list(tk)
+                if cps is None or len(cps) == 0:
+                    ids.append(doc_id)
+                    ntok.append(len(toks))
+                    dtc.append(0)
+                    dsc.append(0)
+                    clean.append(" ".join(toks))
+                    continue
+                pos = sorted(int(p) for p in cps)
+                spans = 1 + sum(
+                    1 for a, b in zip(pos, pos[1:]) if b - a > 1
+                )
+                cset = set(pos)
+                ids.append(doc_id)
+                ntok.append(len(toks))
+                dtc.append(len(pos))
+                dsc.append(spans)
+                clean.append(
+                    " ".join(t for i, t in enumerate(toks, 1) if i not in cset)
+                )
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_tokens": ntok,
+                        "dup_token_count": dtc,
+                        "dup_span_count": dsc,
+                        "clean_text": clean,
+                    }
+                )
 
-    return (
-        base.select("doc_id", F.size("_tk").cast("long").alias("n_tokens"))
-        .join(stats, "doc_id", "left")
-        .join(clean, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("dup_token_count", F.lit(0).cast("long")).alias("dup_token_count"),
-            F.coalesce("dup_span_count", F.lit(0).cast("long")).alias("dup_span_count"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        )
+    return joined.select("doc_id", "_tk", "_cps").mapInPandas(
+        tail_kernel, schema=out_schema
     )
