@@ -32,7 +32,12 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(tokens(col)).cast("long")
+    """Token count == number of maximal non-whitespace runs: counting
+    ``\\S+`` matches is exactly ``size(filter(split(col, '\\s+'), != ''))``
+    (same Java \\s class on both sides) but runs as one codegen'd regexp
+    pass instead of an interpreted split+filter HOF chain (r7; equality
+    pinned in tests/test_dedup_kernels.py)."""
+    return F.regexp_count(col, F.lit(r"\S+")).cast("long")
 
 
 def punct_count(col: Column) -> Column:

@@ -167,6 +167,19 @@ def test_span_gram_occurrences_kernel_equals_hof(docs):
     )
 
 
+def test_token_count_regexp_equals_hof_split(docs):
+    """regexp_count(\\S+) must equal the old size(filter(split)) form on
+    the corpus plus the whitespace edge rows."""
+    from document_extraction_spark.functions import textstats as TS
+
+    got = docs.select(
+        "doc_id",
+        TS.token_count(F.col("text")).alias("a"),
+        F.size(TS.tokens(F.col("text"))).cast("long").alias("b"),
+    ).collect()
+    assert got and all(r["a"] == r["b"] for r in got)
+
+
 def test_myers_distances_match_spark_levenshtein(spark):
     """The vectorized Myers kernel must equal F.levenshtein exactly on
     adversarial strings: random ASCII, Unicode (incl. surrogates-adjacent
