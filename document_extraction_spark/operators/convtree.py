@@ -43,6 +43,13 @@ def conv_root_paths(
     Cycles (corrupt parent pointers) would never converge; after
     ``max_rounds`` the loop raises rather than spinning.
     """
+    # id-typed casts derived from the input schema (ADVICE r6: the empty
+    # chain / null ptr literals were hardcoded long, breaking non-long ids)
+    from pyspark.sql import types as _T
+
+    id_dt = turns.schema[id_col].dataType
+    null_ptr = F.lit(None).cast(id_dt)
+    empty_chain = F.array().cast(_T.ArrayType(id_dt))
     leaves = turns.join(
         turns.select(
             F.col(conv_col).alias("_c"), F.col(parent_col).alias("_p")
@@ -82,7 +89,7 @@ def conv_root_paths(
             .select(
                 "conv_id",
                 "node_id",
-                F.when(F.col("ptr").isNull(), F.lit(None).cast("long"))
+                F.when(F.col("ptr").isNull(), null_ptr)
                 .otherwise(F.col("_aptr"))
                 .alias("ptr"),
                 F.when(F.col("ptr").isNull(), F.col("chain"))
@@ -90,7 +97,7 @@ def conv_root_paths(
                 # root rather than nulling the whole chain
                 .otherwise(
                     F.concat(
-                        F.coalesce(F.col("_achain"), F.array().cast("array<long>")),
+                        F.coalesce(F.col("_achain"), empty_chain),
                         F.col("chain"),
                     )
                 )

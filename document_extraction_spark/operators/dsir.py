@@ -186,14 +186,18 @@ def dsir_log_weights(
         .crossJoin(F.broadcast(tr))
         .select(
             "bucket",
+            # totals coalesced to 0 (ADVICE r6): an EMPTY target/raw corpus
+            # yields a NULL sum, which silently nulled every log_ratio —
+            # with 0 the add-alpha smoothing keeps the ratio finite; for
+            # any non-empty corpus the coalesce is a no-op
             F.round(
                 F.log(
                     (F.coalesce(F.col("ct"), F.lit(0)) + alpha).cast("double")
-                    / (F.col("tot_t") + alpha * BUCKETS)
+                    / (F.coalesce(F.col("tot_t"), F.lit(0)) + alpha * BUCKETS)
                 )
                 - F.log(
                     (F.coalesce(F.col("cr"), F.lit(0)) + alpha).cast("double")
-                    / (F.col("tot_r") + alpha * BUCKETS)
+                    / (F.coalesce(F.col("tot_r"), F.lit(0)) + alpha * BUCKETS)
                 ),
                 5,
             )

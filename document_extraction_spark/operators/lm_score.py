@@ -212,8 +212,14 @@ def lm_score(docs: DataFrame, text_col: str = "text",
             ).cast("decimal(18,5)").alias("bits"),
         )
     )
+    # bits cells ride the closure as SCALED INTEGERS (bits x 10^5 — exact:
+    # bits is decimal(18,5)): plain ints pickle/unpickle orders of
+    # magnitude faster than 27^3 Decimal objects per task, and the per-doc
+    # accumulation becomes exact Python bigint arithmetic; the decimal
+    # string is reconstructed once per doc at emit time
     model = {
-        r["tg"]: (r["p_micro"], r["bits"]) for r in cells.collect()
+        r["tg"]: (r["p_micro"], int(r["bits"].scaleb(5)))
+        for r in cells.collect()
     }
     from document_extraction_spark.session import ensure_worker_package
 
@@ -245,7 +251,7 @@ def lm_score(docs: DataFrame, text_col: str = "text",
                     t = norm[i : i + 3]
                     counts[t] = counts.get(t, 0) + 1
                 spm = 0
-                kb = Decimal(0)
+                kb = 0
                 n_tg = 0
                 for t, k in counts.items():
                     pm, bits = model[t]
@@ -255,7 +261,7 @@ def lm_score(docs: DataFrame, text_col: str = "text",
                 ids.append(doc_id)
                 ntgs.append(n_tg)
                 spms.append(spm)
-                kbs.append(str(kb))
+                kbs.append(str(Decimal(kb).scaleb(-5)))
             if ids:
                 yield pd.DataFrame(
                     {"doc_id": ids, "n_tg": ntgs, "sum_p_micro": spms, "_kb": kbs}

@@ -150,8 +150,10 @@ def mutual_top1_srp(
     prob 1 - acos(c)/pi, so recall is tuned by bands x per-band bits
     exactly as in similarity.srp_near_dup_pairs.  At bands == n_planes
     (one bit per band) a pair misses every band only if ALL n sign bits
-    disagree — on real corpora the candidate set converges to all
-    informative pairs and the output equals the exact path (pytest-pinned).
+    disagree — probability (acos(c)/pi)^n, vanishing but nonzero, so
+    equality with the exact path is probabilistic/data-dependent, not an
+    invariant; it is pytest-pinned on the sf0.001 embeddings fixture
+    (ADVICE r6: the earlier wording overclaimed convergence).
 
     Sizing at scale: expected candidate volume is ~bands * |L| * |R| /
     2^(n_planes/bands) for near-uniform buckets, i.e. QUADRATIC in corpus

@@ -46,6 +46,13 @@ def winnow_fingerprints(
     1-based gram offset in the normalized prefix, ``fp`` the exact-integer
     gram hash.  Documents whose normalized prefix is shorter than ``k``
     have no grams and are absent."""
+    # \s+ collapse: Java \s includes U+000B (vertical tab) while DuckDB's
+    # RE2 \s does not — the twin agreement therefore ASSUMES a no-VT corpus
+    # (ADVICE r6; true of the driver's synthetic tables and of any corpus
+    # that ran the extraction normalizer, which maps control whitespace
+    # first).  Changing the class here would change q_winnow's frozen
+    # oracle, so the assumption is documented rather than patched this
+    # round; q_lexical_diversity shares the same convention.
     norm = F.trim(
         F.regexp_replace(F.lower(F.substring(F.col(text_col), 1, max_chars)),
                          r"\s+", " ")
