@@ -2502,10 +2502,18 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    # r7: `sk` feeds two branches (merge + estimate) — materialized once
+    # (guide §5; no CSE across DataFrame branches), else the 2.7M-row
+    # bottom-k window ran twice.  `toks` also has three consumers but
+    # checkpointing it was MEASURED SLOWER at sf1.0: storing 2.7M exploded
+    # rows costs more than re-running the cheap scan+explode, and the two
+    # countDistinct branches partial-aggregate map-side anyway — the r6
+    # VERDICT's "re-pin q_kmv_distinct" watch item closes as (a) the sk
+    # recompute, fixed, plus (b) shared-VM noise on a ~2 s query.
     toks = d.where(F.col("text").isNotNull()).select(
         "lang", F.explode(TS.tokens(F.lower(F.col("text")))).alias("tok")
     )
-    sk = kmv_build(toks, "tok", ["lang"], k=64)
+    sk = kmv_build(toks, "tok", ["lang"], k=64).localCheckpoint(eager=False)
     merged = kmv_merge(sk.withColumn("lang", F.lit("ALL")), ["lang"], k=64)
     ests = kmv_estimate(sk, ["lang"], k=64).unionByName(
         kmv_estimate(merged, ["lang"], k=64)
