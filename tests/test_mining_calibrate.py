@@ -118,3 +118,61 @@ def test_srp_hub_property_holds(spark):
     got = {(r["left_id"], r["right_id"]) for r in
            mutual_top1_srp(left, right, n_planes=8, bands=8, dim=2).collect()}
     assert got == {(0, 10)}
+
+
+def test_bucket_partials_match_filter_agg_on_adversarial_pairs(spark):
+    """r7 kernel pin: the cogrouped per-bucket argmax partials + combine
+    (the path mutual_top1_srp now runs) must return the verdict of the
+    aggregate mutuality filter over the SAME candidate pairs — including
+    the nasty cases: a zero vector (NaN cosine — Spark's struct max ranks
+    NaN above everything), duplicate right vectors (raw ties break to the
+    SMALLEST other id), and a pair colliding in two bands (absorbed)."""
+    from document_extraction_spark.operators.mining import (
+        _bucket_mutual_partials,
+        _mutual_filter_agg,
+        _mutual_from_partials,
+    )
+    from document_extraction_spark.operators.similarity import cosine_pairs_arrow
+
+    # (id, vec, bucket): bucket b0 holds a zero left vector and duplicate
+    # rights; pair (4, 14) collides in BOTH b1 and b2.
+    lrows = [
+        (0, [0.0, 0.0], "b0"), (2, [1.0, 0.2], "b0"),
+        (4, [0.5, 0.5], "b1"), (4, [0.5, 0.5], "b2"),
+        (6, [0.9, 0.1], "b3"),  # right side absent from b3
+    ]
+    rrows = [
+        (10, [1.0, 0.1], "b0"), (12, [1.0, 0.1], "b0"), (16, [-1.0, 0.3], "b0"),
+        (14, [0.4, 0.6], "b1"), (14, [0.4, 0.6], "b2"),
+    ]
+    lb = spark.createDataFrame(
+        lrows, "left_id long, lvec array<float>, bucket string")
+    rb = spark.createDataFrame(
+        rrows, "right_id long, rvec array<float>, bucket string")
+
+    def rows(df):
+        # NaN != NaN would fail tuple equality; compare NaN as a token
+        return sorted(
+            (r["left_id"], r["right_id"],
+             "nan" if r["cos"] != r["cos"] else r["cos"])
+            for r in df.collect())
+
+    got = rows(_mutual_from_partials(_bucket_mutual_partials(lb, rb), None))
+
+    # reference scoring via the r7 pair-stream kernel (numpy NaN on zero
+    # norms — the HOF cosine would raise under ANSI division-by-zero)
+    scored = cosine_pairs_arrow(
+        lb.join(rb, "bucket").select("left_id", "right_id", "lvec", "rvec"),
+        "lvec", "rvec")
+    want = rows(_mutual_filter_agg(scored, None))
+
+    assert got == want and len(want) > 0
+    # kernel tie-break: left 2's duplicate-raw tie (rights 10 == 12) must
+    # break to the SMALLEST right id in its partial row
+    partials = {(p["_side"], p["id"]): p["other"]
+                for p in _bucket_mutual_partials(lb, rb).collect()}
+    assert partials[(0, 2)] == 10
+    # NaN-high: the zero-vector left outranks left 2 for right 10, so the
+    # surviving pair for right 10 is the NaN one — present in BOTH paths
+    assert any(l == 0 and r == 10 for l, r, _ in got)
+    assert partials[(1, 10)] == 0
